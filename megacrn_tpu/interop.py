@@ -1,0 +1,71 @@
+"""Interop with reference PyTorch checkpoints.
+
+Lets a user of the reference repo load a trained ``.pt`` state_dict (saved by
+``model/traintest_MegaCRN.py:144``) straight into the megacrn-tpu parameter
+pytree. The AGCN weights share the (in, out) layout with the reference
+(applied via ``einsum('bni,io->bno')``, ``model/MegaCRN.py:27``); only the
+``nn.Linear`` projection head is transposed.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def params_from_flat(flat: Mapping[str, np.ndarray], num_layers: int) -> Dict:
+    """Build the params pytree from a flat ``{path: array}`` mapping using
+    megacrn-tpu path names (``memory/Memory``, ``encoder/0/gate/W``, ...)."""
+
+    def arr(k):
+        return jnp.asarray(np.asarray(flat[k]), jnp.float32)
+
+    def cells(mod):
+        return [
+            {
+                "gate": {"W": arr(f"{mod}/{i}/gate/W"), "b": arr(f"{mod}/{i}/gate/b")},
+                "update": {"W": arr(f"{mod}/{i}/update/W"), "b": arr(f"{mod}/{i}/update/b")},
+            }
+            for i in range(num_layers)
+        ]
+
+    return {
+        "memory": {k: arr(f"memory/{k}") for k in ["Memory", "Wq", "We1", "We2"]},
+        "encoder": cells("encoder"),
+        "decoder": cells("decoder"),
+        "proj": {"W": arr("proj/W"), "b": arr("proj/b")},
+    }
+
+
+def flat_from_torch_state_dict(sd: Mapping, num_layers: int) -> Dict[str, np.ndarray]:
+    """Convert a reference ``state_dict`` (tensor or ndarray values) to the
+    flat megacrn-tpu naming. Accepts the exact module names of
+    ``model/MegaCRN.py`` (memory.*, {encoder,decoder}.dcrnn_cells.i.{gate,update}.*,
+    proj.0.*)."""
+
+    def npy(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    flat = {}
+    for name in ["Memory", "Wq", "We1", "We2"]:
+        flat[f"memory/{name}"] = npy(sd[f"memory.{name}"])
+    for mod in ["encoder", "decoder"]:
+        for i in range(num_layers):
+            for sub in ["gate", "update"]:
+                flat[f"{mod}/{i}/{sub}/W"] = npy(sd[f"{mod}.dcrnn_cells.{i}.{sub}.weights"])
+                flat[f"{mod}/{i}/{sub}/b"] = npy(sd[f"{mod}.dcrnn_cells.{i}.{sub}.bias"])
+    flat["proj/W"] = npy(sd["proj.0.weight"]).T
+    flat["proj/b"] = npy(sd["proj.0.bias"])
+    return flat
+
+
+def params_from_torch_checkpoint(path: str, num_layers: int) -> Dict:
+    """Load a reference ``.pt`` checkpoint into a megacrn-tpu params pytree.
+
+    Requires torch at call time (torch is not a dependency of the training
+    path)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    return params_from_flat(flat_from_torch_state_dict(sd, num_layers), num_layers)

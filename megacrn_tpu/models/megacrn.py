@@ -1,0 +1,154 @@
+"""MegaCRN flagship model: meta-graph + memory + scanned seq2seq.
+
+Functional re-design of ``model/MegaCRN.py:116-194``. One jitted graph covers
+the whole forward: meta-graph generation, scanned encoder, memory read,
+scanned decoder with in-graph scheduled sampling (the reference flips a host
+numpy coin per decoder step, ``model/MegaCRN.py:188-191``; here the Bernoulli
+draws come from a threaded PRNG key inside the scan so training stays a single
+XLA program — distributional parity, as exact host-RNG parity is impossible).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from megacrn_tpu.config import MegaCRNConfig
+from megacrn_tpu.nn.init import torch_linear_bias, torch_linear_weight
+from megacrn_tpu.nn.memory import memory_init, query_memory
+from megacrn_tpu.nn.seq import (decoder_init, encoder_init, init_hidden,
+                                stack_step)
+from megacrn_tpu.ops.graph import meta_graph
+
+
+class MegaCRNOutput(NamedTuple):
+    """The reference forward 5-tuple (model/MegaCRN.py:194)."""
+
+    output: jnp.ndarray  # (B, horizon, N, output_dim)
+    h_att: jnp.ndarray  # (B, N, mem_dim)
+    query: jnp.ndarray  # (B, N, mem_dim)
+    pos: jnp.ndarray  # (B, N, mem_dim)
+    neg: jnp.ndarray  # (B, N, mem_dim)
+
+
+def init_params(key, cfg: MegaCRNConfig, dtype=jnp.float32) -> Dict:
+    """Build the parameter pytree with reference-parity initial distributions."""
+    k_mem, k_enc, k_dec, k_pw, k_pb = jax.random.split(key, 5)
+    params = {
+        "memory": memory_init(k_mem, cfg.num_nodes, cfg.rnn_units,
+                              cfg.mem_num, cfg.mem_dim, dtype),
+        "encoder": encoder_init(k_enc, cfg.input_dim, cfg.rnn_units,
+                                cfg.cheb_k, cfg.num_layers,
+                                cfg.num_supports, dtype),
+        # Decoder input is [go || y_cov]; hidden width rnn_units + mem_dim
+        # (model/MegaCRN.py:140-141).
+        "decoder": decoder_init(k_dec, cfg.output_dim + cfg.ycov_dim,
+                                cfg.decoder_dim, cfg.cheb_k, cfg.num_layers,
+                                cfg.num_supports, dtype),
+        # proj = nn.Linear(decoder_dim, output_dim) (model/MegaCRN.py:144),
+        # stored input-major so apply is x @ W + b.
+        "proj": {
+            "W": torch_linear_weight(k_pw, (cfg.decoder_dim, cfg.output_dim), dtype),
+            "b": torch_linear_bias(k_pb, cfg.decoder_dim, (cfg.output_dim,), dtype),
+        },
+    }
+    return params
+
+
+def compute_sampling_threshold(cl_decay_steps: int, batches_seen) -> jnp.ndarray:
+    """Inverse-sigmoid curriculum threshold (model/MegaCRN.py:146-147)."""
+    c = float(cl_decay_steps)
+    return c / (c + jnp.exp(batches_seen / c))
+
+
+def forward(
+    params: Dict,
+    x: jnp.ndarray,
+    y_cov: jnp.ndarray,
+    cfg: MegaCRNConfig,
+    labels: Optional[jnp.ndarray] = None,
+    batches_seen=0,
+    rng: Optional[jax.Array] = None,
+    training: bool = False,
+) -> MegaCRNOutput:
+    """Full forward pass (model/MegaCRN.py:168-194).
+
+    x: (B, T, N, input_dim); y_cov: (B, horizon, N, ycov_dim);
+    labels: (B, horizon, N, output_dim) — required when training with
+    curriculum learning. ``training`` must be a static Python bool.
+    """
+    batch = x.shape[0]
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+    mem = params["memory"]
+
+    supports = meta_graph(mem["Memory"], mem["We1"], mem["We2"])
+    enc_params, dec_params = params["encoder"], params["decoder"]
+    if compute_dtype != supports.dtype:
+        supports = supports.astype(compute_dtype)
+        x = x.astype(compute_dtype)
+        y_cov = y_cov.astype(compute_dtype)
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype), t)
+        enc_params, dec_params = cast(enc_params), cast(dec_params)
+
+    # --- encoder over T (model/MegaCRN.py:174-176) ---
+    enc_states = init_hidden(cfg.num_layers, batch, cfg.num_nodes,
+                             cfg.rnn_units, compute_dtype)
+    x_tm = jnp.swapaxes(x, 0, 1)  # (T, B, N, C)
+
+    def enc_step(states, x_t):
+        out, new_states = stack_step(enc_params, x_t, states,
+                                     supports, cfg.cheb_k)
+        return new_states, None
+
+    enc_states, _ = jax.lax.scan(enc_step, enc_states, x_tm)
+    h_t = enc_states[-1].astype(jnp.float32)  # last layer's last state
+
+    # --- memory read (model/MegaCRN.py:178-181) ---
+    h_att, query, pos, neg = query_memory(mem, h_t)
+    h_t = jnp.concatenate([h_t, h_att], axis=-1)  # (B, N, H + d)
+    dec_states = tuple(h_t.astype(compute_dtype)
+                       for _ in range(cfg.num_layers))  # same tensor per layer
+
+    # --- decoder over horizon with scheduled sampling (:182-192) ---
+    use_cl = training and cfg.use_curriculum_learning
+    if use_cl:
+        if labels is None or rng is None:
+            raise ValueError("curriculum training requires labels and rng")
+        threshold = compute_sampling_threshold(cfg.cl_decay_steps,
+                                               jnp.asarray(batches_seen,
+                                                           jnp.float32))
+        step_keys = jax.random.split(rng, cfg.horizon)
+        coins = jax.vmap(lambda k: jax.random.uniform(k))(step_keys)
+        use_truth = coins < threshold  # (horizon,)
+        labels_tm = jnp.swapaxes(labels.astype(compute_dtype), 0, 1)
+    else:
+        use_truth = jnp.zeros((cfg.horizon,), bool)
+        labels_tm = jnp.zeros(
+            (cfg.horizon, batch, cfg.num_nodes, cfg.output_dim), compute_dtype)
+
+    y_cov_tm = jnp.swapaxes(y_cov, 0, 1)  # (horizon, B, N, ycov)
+    go0 = jnp.zeros((batch, cfg.num_nodes, cfg.output_dim), compute_dtype)
+    proj_w = params["proj"]["W"].astype(compute_dtype)
+    proj_b = params["proj"]["b"].astype(compute_dtype)
+
+    def dec_step(carry, inp):
+        go, states = carry
+        y_cov_t, label_t, use_truth_t = inp
+        x_t = jnp.concatenate([go, y_cov_t], axis=-1)
+        h_de, states = stack_step(dec_params, x_t, states,
+                                  supports, cfg.cheb_k)
+        out_t = h_de @ proj_w + proj_b
+        go_next = jnp.where(use_truth_t, label_t, out_t)
+        return (go_next, states), out_t
+
+    (_, _), outs = jax.lax.scan(
+        dec_step, (go0, dec_states), (y_cov_tm, labels_tm, use_truth))
+    output = jnp.swapaxes(outs, 0, 1).astype(jnp.float32)
+
+    return MegaCRNOutput(output, h_att, query, pos, neg)
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,111 @@
+"""Model-level behavior: shapes, jit-ability, gradients, curriculum."""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from megacrn_tpu.config import MegaCRNConfig
+from megacrn_tpu.models import megacrn
+from megacrn_tpu.ops import losses
+
+CFG = MegaCRNConfig(num_nodes=10, rnn_units=8, mem_num=4, mem_dim=8,
+                    horizon=4, seq_len=4)
+
+
+def _data(batch=3):
+    k = jax.random.PRNGKey(0)
+    kx, ky, kl = jax.random.split(k, 3)
+    x = jax.random.normal(kx, (batch, CFG.seq_len, CFG.num_nodes, CFG.input_dim))
+    y_cov = jax.random.normal(ky, (batch, CFG.horizon, CFG.num_nodes, CFG.ycov_dim))
+    labels = jax.random.normal(kl, (batch, CFG.horizon, CFG.num_nodes, CFG.output_dim))
+    return x, y_cov, labels
+
+
+def test_output_shapes():
+    params = megacrn.init_params(jax.random.PRNGKey(1), CFG)
+    x, y_cov, _ = _data()
+    out = megacrn.forward(params, x, y_cov, CFG)
+    assert out.output.shape == (3, CFG.horizon, CFG.num_nodes, CFG.output_dim)
+    for t in [out.h_att, out.query, out.pos, out.neg]:
+        assert t.shape == (3, CFG.num_nodes, CFG.mem_dim)
+
+
+def test_param_count_matches_reference_formula():
+    # METR-LA default config: reference torchsummary total.
+    cfg = MegaCRNConfig()
+    params = megacrn.init_params(jax.random.PRNGKey(0), cfg)
+    n = megacrn.param_count(params)
+
+    def agcn(cin, cout, k=3):
+        return 2 * k * cin * cout + cout
+
+    h, d = cfg.rnn_units, cfg.mem_dim
+    dd = cfg.decoder_dim
+    want = (
+        cfg.mem_num * d + h * d + 2 * cfg.num_nodes * cfg.mem_num  # memory
+        + agcn(1 + h, 2 * h) + agcn(1 + h, h)  # encoder cell
+        + agcn(2 + dd, 2 * dd) + agcn(2 + dd, dd)  # decoder cell
+        + dd * 1 + 1  # proj
+    )
+    assert n == want
+
+
+def test_grads_finite_through_training_forward():
+    params = megacrn.init_params(jax.random.PRNGKey(2), CFG)
+    x, y_cov, labels = _data()
+
+    def loss_fn(p):
+        out = megacrn.forward(p, x, y_cov, CFG, labels=labels,
+                              batches_seen=5.0, rng=jax.random.PRNGKey(9),
+                              training=True)
+        return (losses.masked_mae_loss(out.output, labels)
+                + losses.megacrn_aux_losses(out.query, out.pos, out.neg,
+                                            0.01, 0.01))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(g)))
+    # pos/neg are stop-gradiented, but Memory still receives gradient through
+    # query/value paths.
+    assert float(jnp.abs(grads["memory"]["Memory"]).sum()) > 0
+
+
+def test_curriculum_threshold_schedule():
+    thr0 = float(megacrn.compute_sampling_threshold(2000, jnp.asarray(0.0)))
+    np.testing.assert_allclose(thr0, 2000 / 2001, rtol=1e-6)
+    thr_late = float(megacrn.compute_sampling_threshold(2000, jnp.asarray(40000.0)))
+    assert thr_late < 1e-3
+
+
+def test_curriculum_feeds_ground_truth_early():
+    # At batches_seen=0 the threshold is ~1 -> nearly every decoder step is
+    # teacher-forced; outputs must differ from the non-curriculum forward.
+    params = megacrn.init_params(jax.random.PRNGKey(3), CFG)
+    x, y_cov, labels = _data()
+    fwd = functools.partial(megacrn.forward, params, x, y_cov, CFG)
+    out_free = fwd()
+    out_tf = fwd(labels=labels, batches_seen=0.0,
+                 rng=jax.random.PRNGKey(0), training=True)
+    assert not np.allclose(np.asarray(out_free.output), np.asarray(out_tf.output))
+
+
+def test_eval_forward_is_deterministic():
+    params = megacrn.init_params(jax.random.PRNGKey(4), CFG)
+    x, y_cov, _ = _data()
+    a = megacrn.forward(params, x, y_cov, CFG)
+    b = megacrn.forward(params, x, y_cov, CFG)
+    np.testing.assert_array_equal(np.asarray(a.output), np.asarray(b.output))
+
+
+def test_bfloat16_compute_mode_runs_and_is_close():
+    cfg16 = MegaCRNConfig(num_nodes=10, rnn_units=8, mem_num=4, mem_dim=8,
+                          horizon=4, seq_len=4, compute_dtype="bfloat16")
+    params = megacrn.init_params(jax.random.PRNGKey(5), CFG)
+    x, y_cov, _ = _data()
+    out32 = megacrn.forward(params, x, y_cov, CFG)
+    out16 = megacrn.forward(params, x, y_cov, cfg16)
+    assert out16.output.dtype == jnp.float32  # outputs upcast
+    np.testing.assert_allclose(np.asarray(out16.output),
+                               np.asarray(out32.output), atol=0.15)
