@@ -1,0 +1,130 @@
+"""CLI: train + test MegaCRN, reproducing the reference flag surface.
+
+Usage (mirrors ``python traintest_MegaCRN.py --dataset=METRLA --gpu=0``,
+``README.md:53-65`` — the device flag is replaced by JAX device/mesh flags):
+
+    python -m megacrn_tpu.cli.traintest --dataset METRLA --data_dir METRLA
+    python -m megacrn_tpu.cli.traintest --dataset SYNTH --num_nodes 64
+
+Every reference knob (model/traintest_MegaCRN.py:158-187) is exposed; dataset
+presets hard-set num_nodes exactly as the reference does (:190-195).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from megacrn_tpu.config import (DATASETS, model_config_for, train_config_for)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", type=str, default="METRLA",
+                   choices=list(DATASETS) + ["SYNTH"])
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="dir with {train,val,test}.npz (npz pipeline)")
+    p.add_argument("--save_dir", type=str, default="save")
+    # model
+    p.add_argument("--num_nodes", type=int, default=None)
+    p.add_argument("--seq_len", type=int, default=None)
+    p.add_argument("--horizon", type=int, default=None)
+    p.add_argument("--input_dim", type=int, default=1)
+    p.add_argument("--output_dim", type=int, default=1)
+    p.add_argument("--max_diffusion_step", type=int, default=3, dest="cheb_k")
+    p.add_argument("--num_rnn_layers", type=int, default=1, dest="num_layers")
+    p.add_argument("--rnn_units", type=int, default=None)
+    p.add_argument("--mem_num", type=int, default=None)
+    p.add_argument("--mem_dim", type=int, default=None)
+    p.add_argument("--use_curriculum_learning", type=lambda s: s == "True",
+                   default=True)
+    p.add_argument("--cl_decay_steps", type=int, default=2000)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    # train
+    p.add_argument("--lamb", type=float, default=None)
+    p.add_argument("--lamb1", type=float, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--patience", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--steps", type=eval, default=None,
+                   help="lr milestone epochs, e.g. [50,100]")
+    p.add_argument("--lr_decay_ratio", type=float, default=None)
+    p.add_argument("--epsilon", type=float, default=None)
+    p.add_argument("--max_grad_norm", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--test_every_epoch", type=lambda s: s == "True",
+                   default=True)
+    p.add_argument("--reshuffle_each_epoch", action="store_true",
+                   help="per-epoch shuffle (off = reference parity: one "
+                        "construction-time permutation)")
+    # synthetic source
+    p.add_argument("--synth_steps", type=int, default=4000)
+    # mesh
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_node", type=int, default=1)
+    return p
+
+
+def configs_from_args(args):
+    ds = "METRLA" if args.dataset == "SYNTH" else args.dataset
+    model_over = {}
+    for f in ["num_nodes", "seq_len", "horizon", "rnn_units", "mem_num",
+              "mem_dim"]:
+        if getattr(args, f) is not None:
+            model_over[f] = getattr(args, f)
+    model_over.update(
+        input_dim=args.input_dim, output_dim=args.output_dim,
+        cheb_k=args.cheb_k, num_layers=args.num_layers,
+        cl_decay_steps=args.cl_decay_steps,
+        use_curriculum_learning=args.use_curriculum_learning,
+        compute_dtype=args.compute_dtype)
+    model_cfg = model_config_for(ds, **model_over)
+
+    train_over = {}
+    mapping = {"lamb": "lamb", "lamb1": "lamb1", "epochs": "epochs",
+               "patience": "patience", "batch_size": "batch_size",
+               "lr": "lr", "lr_decay_ratio": "lr_decay_ratio",
+               "epsilon": "epsilon", "seed": "seed"}
+    for arg_name, cfg_name in mapping.items():
+        if getattr(args, arg_name) is not None:
+            train_over[cfg_name] = getattr(args, arg_name)
+    if args.steps is not None:
+        train_over["lr_milestones"] = tuple(args.steps)
+    if args.max_grad_norm is not None:
+        train_over["max_grad_norm"] = args.max_grad_norm
+    train_cfg = train_config_for(ds, **train_over)
+    return model_cfg, train_cfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    model_cfg, train_cfg = configs_from_args(args)
+
+    from megacrn_tpu.data import datasets
+    from megacrn_tpu.train.logs import RunDir
+    from megacrn_tpu.train.loop import fit
+
+    if args.dataset == "SYNTH":
+        data = datasets.build_synthetic(
+            num_nodes=model_cfg.num_nodes, num_steps=args.synth_steps,
+            seq_len=model_cfg.seq_len, horizon=model_cfg.horizon,
+            batch_size=train_cfg.batch_size,
+            reshuffle_each_epoch=args.reshuffle_each_epoch)
+    else:
+        if args.data_dir is None:
+            raise SystemExit(f"--data_dir required for dataset {args.dataset}")
+        data = datasets.load_npz_splits(
+            args.data_dir, train_cfg.batch_size,
+            reshuffle_each_epoch=args.reshuffle_each_epoch)
+
+    run = RunDir(args.save_dir, args.dataset)
+    result = fit(model_cfg, train_cfg, data, run, resume=args.resume,
+                 test_every_epoch=args.test_every_epoch)
+    print({k: v for k, v in result["test_metrics"].items()})
+    return result
+
+
+if __name__ == "__main__":
+    main()

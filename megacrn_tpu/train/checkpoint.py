@@ -1,0 +1,78 @@
+"""Checkpoint / resume.
+
+The reference only ``torch.save``s the best-val ``state_dict``
+(``model/traintest_MegaCRN.py:144``) — no optimizer state, no RNG, no
+mid-run resume. Here a checkpoint carries the full restartable training
+state: {params, opt_state, batches_seen, epoch, best_val, rng key, scaler
+stats}, written atomically as a flat npz keyed by pytree paths, so a killed
+run resumes exactly (SURVEY.md section 5 "checkpoint/resume").
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_like(template, flat: Dict[str, np.ndarray]):
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        arr = flat[key]
+        leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_checkpoint(path: str, params, opt_state=None, *,
+                    metadata: Optional[Dict[str, Any]] = None):
+    """Atomic write: tmp file + rename. ``path`` should end in .npz."""
+    blob = {f"params/{k}": v for k, v in _flatten(params).items()}
+    if opt_state is not None:
+        blob.update({f"opt/{k}": v for k, v in _flatten(opt_state).items()})
+    blob["meta/json"] = np.frombuffer(
+        json.dumps(metadata or {}).encode(), dtype=np.uint8)
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **blob)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+
+
+def load_checkpoint(path: str, params_template, opt_state_template=None
+                    ) -> Tuple[Any, Any, Dict]:
+    """Restore (params, opt_state, metadata); opt_state is None when no
+    template is given or the checkpoint has no optimizer state."""
+    with np.load(path) as z:
+        blob = dict(z)
+    meta = json.loads(bytes(blob.pop("meta/json").tobytes()).decode())
+    pflat = {k[len("params/"):]: v for k, v in blob.items()
+             if k.startswith("params/")}
+    params = _unflatten_like(params_template, pflat)
+    opt_state = None
+    if opt_state_template is not None:
+        oflat = {k[len("opt/"):]: v for k, v in blob.items()
+                 if k.startswith("opt/")}
+        if oflat:
+            opt_state = _unflatten_like(opt_state_template, oflat)
+    return params, opt_state, meta

@@ -1,0 +1,171 @@
+"""Training harness: the full reference protocol as a library function.
+
+Implements the canonical train->early-stop->reload-best->test program
+(``model/traintest_MegaCRN.py:101-155``): epoch loop with a global
+``batches_seen`` counter driving curriculum decay, per-epoch val (and test)
+evaluation, best-val checkpointing, patience-based early stop, and final
+best-checkpoint test. Differences from the reference are capability adds:
+full restartable checkpoints (optimizer/RNG/counter state) and optional
+per-epoch reshuffling.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from megacrn_tpu.config import MegaCRNConfig, TrainConfig
+from megacrn_tpu.data.loader import BatchLoader, prepare_x_y
+from megacrn_tpu.models import megacrn
+from megacrn_tpu.train import checkpoint as ckpt
+from megacrn_tpu.train.logs import RunDir, echo_hparams
+from megacrn_tpu.train.optim import make_optimizer
+from megacrn_tpu.train.steps import (make_eval_step, make_train_step,
+                                     summarize_eval)
+
+
+def _reinit_xavier_uniform(params, key):
+    """EXPY-TKY harness second init pass
+    (model_EXPYTKY/traintest_MegaCRN.py:27-35): xavier_uniform on params with
+    dim > 1, U(0,1) on 1-D params."""
+    from megacrn_tpu.nn.init import xavier_uniform
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    new_leaves = []
+    for leaf, k in zip(leaves, keys):
+        if leaf.ndim > 1:
+            new_leaves.append(xavier_uniform(k, leaf.shape, leaf.dtype))
+        else:
+            new_leaves.append(jax.random.uniform(k, leaf.shape, leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def evaluate(eval_step, loader: BatchLoader, model_cfg: MegaCRNConfig,
+             input_dim: int, output_dim: int) -> Dict[str, float]:
+    batch_metrics = []
+    for x, y in loader:
+        x0, y0, y_cov = prepare_x_y(x, y, input_dim, output_dim)
+        batch_metrics.append(eval_step(x0, y0, y_cov))
+    return summarize_eval(batch_metrics, model_cfg.horizon)
+
+
+def fit(
+    model_cfg: MegaCRNConfig,
+    train_cfg: TrainConfig,
+    data: Dict,
+    run: RunDir,
+    *,
+    test_every_epoch: bool = True,
+    resume: bool = False,
+    max_epochs: Optional[int] = None,
+) -> Dict:
+    """Train MegaCRN with the reference protocol.
+
+    ``data`` keys: train_loader / val_loader / test_loader (BatchLoader),
+    scaler_mean, scaler_std (scalars or broadcastable arrays).
+    Returns {params, best_val, test_metrics, epochs_run}.
+    """
+    logger = run.get_logger()
+    echo_hparams(logger, model=model_cfg, train=train_cfg)
+
+    seed = train_cfg.seed if train_cfg.seed is not None else int(time.time())
+    key = jax.random.PRNGKey(seed)
+    key, k_init, k_reinit = jax.random.split(key, 3)
+    params = megacrn.init_params(k_init, model_cfg)
+    if train_cfg.reinit_xavier_uniform:
+        params = _reinit_xavier_uniform(params, k_reinit)
+    logger.info("param_count", megacrn.param_count(params))
+
+    steps_per_epoch = len(data["train_loader"])
+    optimizer = make_optimizer(train_cfg, steps_per_epoch)
+    opt_state = optimizer.init(params)
+
+    mean, std = data.get("scaler_mean", 0.0), data.get("scaler_std", 1.0)
+    train_step = make_train_step(model_cfg, train_cfg, optimizer, mean, std)
+    eval_raw = make_eval_step(model_cfg, train_cfg, mean, std)
+
+    def eval_step(x0, y0, y_cov):
+        return eval_raw(params, x0, y0, y_cov)
+
+    batches_seen = 0
+    start_epoch = 0
+    min_val_loss = float("inf")
+    wait = 0
+    if resume:
+        import os
+
+        if os.path.exists(run.checkpoint_path):
+            params, opt_state, meta = ckpt.load_checkpoint(
+                run.checkpoint_path, params, opt_state)
+            batches_seen = meta.get("batches_seen", 0)
+            start_epoch = meta.get("epoch", 0) + 1
+            min_val_loss = meta.get("best_val", float("inf"))
+            key = jax.random.PRNGKey(meta.get("rng_seed", seed + 1))
+            logger.info("resumed from", run.checkpoint_path, "epoch", start_epoch)
+
+    epochs = max_epochs if max_epochs is not None else train_cfg.epochs
+    epochs_run = 0
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        train_losses = []
+        for x, y in data["train_loader"]:
+            x0, y0, y_cov = prepare_x_y(x, y, model_cfg.input_dim,
+                                        model_cfg.output_dim)
+            key, k_step = jax.random.split(key)
+            params, opt_state, loss = train_step(
+                params, opt_state, x0, y0, y_cov, float(batches_seen), k_step)
+            train_losses.append(loss)
+            batches_seen += 1
+        train_loss = float(np.mean([float(l) for l in train_losses]))
+
+        val = evaluate(eval_step, data["val_loader"], model_cfg,
+                       model_cfg.input_dim, model_cfg.output_dim)
+        dt = time.time() - t0
+        msg = (f"Epoch [{epoch + 1}/{epochs}] ({batches_seen}) "
+               f"train_loss: {train_loss:.4f}, val_loss: {val['loss']:.4f}, "
+               f"{dt:.1f}s")
+        logger.info(msg)
+        run.append_epochlog(msg)
+        run.log_metrics({"epoch": epoch + 1, "train_loss": train_loss,
+                         "val": val, "seconds": dt})
+
+        if test_every_epoch:
+            test = evaluate(eval_step, data["test_loader"], model_cfg,
+                            model_cfg.input_dim, model_cfg.output_dim)
+            run.log_metrics({"epoch": epoch + 1, "test": test})
+
+        epochs_run = epoch + 1
+        if val["loss"] < min_val_loss:
+            wait = 0
+            min_val_loss = val["loss"]
+            ckpt.save_checkpoint(
+                run.checkpoint_path, params, opt_state,
+                metadata={"epoch": epoch, "batches_seen": batches_seen,
+                          "best_val": min_val_loss, "rng_seed": seed + epoch,
+                          "scaler_mean": float(np.mean(mean)),
+                          "scaler_std": float(np.mean(std))})
+        else:
+            wait += 1
+            if wait == train_cfg.patience:
+                logger.info("Early stopping at epoch:", epoch)
+                break
+
+    # Reload best checkpoint, final test (model/traintest_MegaCRN.py:152-155).
+    params, _, _ = ckpt.load_checkpoint(run.checkpoint_path, params)
+    test = evaluate(eval_step, data["test_loader"], model_cfg,
+                    model_cfg.input_dim, model_cfg.output_dim)
+    logger.info("Best model horizon overall: mae:", f"{test['mae']:.4f}",
+                "mape:", f"{test['mape']:.4f}", "rmse:", f"{test['rmse']:.4f}")
+    for s in (3, 6, 12):
+        if f"mae_{s}" in test:
+            line = (f"Horizon {s}: mae: {test[f'mae_{s}']:.4f}, "
+                    f"mape: {test[f'mape_{s}']:.4f}, "
+                    f"rmse: {test[f'rmse_{s}']:.4f}")
+            logger.info(line)
+            run.append_scores(line)
+    run.log_metrics({"final_test": test, "best_val": min_val_loss})
+    return {"params": params, "best_val": min_val_loss,
+            "test_metrics": test, "epochs_run": epochs_run}

@@ -1,0 +1,126 @@
+"""Jitted train / eval steps for the MegaCRN training protocol.
+
+One XLA program per step kind. The composite objective is
+``L = L_pred + lamb * L_separate + lamb1 * L_compact``
+(``model/traintest_MegaCRN.py:118-125``) with ``L_pred`` either the masked
+MAE on the inverse-transformed scale (METR-LA/PEMS-BAY) or plain L1 on the
+normalized scale (EXPY-TKY, ``model_EXPYTKY/traintest_MegaCRN.py:76-94``).
+
+The eval step computes the DCRNN-style per-batch metrics at the 1-based
+horizon slices 3/6/12 on-device (``model/traintest_MegaCRN.py:72-86``), so an
+entire evaluation pass is B jitted calls + one host mean.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from megacrn_tpu.config import MegaCRNConfig, TrainConfig
+from megacrn_tpu.models import megacrn
+from megacrn_tpu.ops import losses
+
+
+def composite_loss(out: megacrn.MegaCRNOutput, y: jnp.ndarray,
+                   train_cfg: TrainConfig, scaler_mean, scaler_std):
+    if train_cfg.pred_loss == "masked_mae_inv":
+        y_pred = out.output * scaler_std + scaler_mean
+        y_true = y * scaler_std + scaler_mean
+        pred_loss = losses.masked_mae_loss(y_pred, y_true)
+    elif train_cfg.pred_loss == "l1_normalized":
+        pred_loss = jnp.mean(jnp.abs(out.output - y))  # nn.L1Loss parity
+    else:
+        raise ValueError(f"unknown pred_loss {train_cfg.pred_loss!r}")
+    aux = losses.megacrn_aux_losses(out.query, out.pos, out.neg,
+                                    train_cfg.lamb, train_cfg.lamb1)
+    return pred_loss + aux
+
+
+def make_train_step(
+    model_cfg: MegaCRNConfig,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    scaler_mean: float = 0.0,
+    scaler_std: float = 1.0,
+) -> Callable:
+    """Returns jitted ``(params, opt_state, x, y, y_cov, batches_seen, rng)
+    -> (params, opt_state, loss)``. ``batches_seen`` is a traced float driving
+    the curriculum threshold, so step count does not trigger recompiles."""
+
+    def loss_fn(params, x, y, y_cov, batches_seen, rng):
+        out = megacrn.forward(params, x, y_cov, model_cfg, labels=y,
+                              batches_seen=batches_seen, rng=rng,
+                              training=True)
+        return composite_loss(out, y, train_cfg, scaler_mean, scaler_std)
+
+    @jax.jit
+    def train_step(params, opt_state, x, y, y_cov, batches_seen, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, x, y, y_cov, batches_seen, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+# Horizon metric slices: 1-based steps (3, 6, 12) for 12-step datasets;
+# truncated for shorter horizons.
+def _metric_steps(horizon: int) -> Tuple[int, ...]:
+    return tuple(s for s in (3, 6, 12) if s <= horizon)
+
+
+def make_eval_step(
+    model_cfg: MegaCRNConfig,
+    train_cfg: TrainConfig,
+    scaler_mean: float = 0.0,
+    scaler_std: float = 1.0,
+    return_predictions: bool = False,
+) -> Callable:
+    """Returns jitted ``(params, x, y, y_cov) -> metrics dict`` computing the
+    per-batch masked metrics of the reference eval loop
+    (model/traintest_MegaCRN.py:60-86)."""
+    steps = _metric_steps(model_cfg.horizon)
+
+    @jax.jit
+    def eval_step(params, x, y, y_cov):
+        out = megacrn.forward(params, x, y_cov, model_cfg, training=False)
+        y_pred = out.output * scaler_std + scaler_mean
+        y_true = y * scaler_std + scaler_mean
+        loss = composite_loss(out, y, train_cfg, scaler_mean, scaler_std)
+        m = {
+            "loss": loss,
+            "mae": losses.masked_mae_loss(y_pred, y_true),
+            "mape": losses.masked_mape_loss(y_pred, y_true),
+            "mse": losses.masked_mse_loss(y_pred, y_true),
+        }
+        for s in steps:
+            sl_pred = y_pred[:, s - 1:s]
+            sl_true = y_true[:, s - 1:s]
+            m[f"mae_{s}"] = losses.masked_mae_loss(sl_pred, sl_true)
+            m[f"mape_{s}"] = losses.masked_mape_loss(sl_pred, sl_true)
+            m[f"mse_{s}"] = losses.masked_mse_loss(sl_pred, sl_true)
+        if return_predictions:
+            return m, y_pred
+        return m
+
+    return eval_step
+
+
+def summarize_eval(batch_metrics: list, horizon: int) -> dict:
+    """Host-side aggregation: mean over batches; RMSE = sqrt(mean of MSEs)
+    (model/traintest_MegaCRN.py:89-93)."""
+    import numpy as np
+
+    keys = batch_metrics[0].keys()
+    acc = {k: float(np.mean([float(b[k]) for b in batch_metrics])) for k in keys}
+    out = {"loss": acc["loss"], "mae": acc["mae"], "mape": acc["mape"],
+           "rmse": float(np.sqrt(acc["mse"]))}
+    for s in _metric_steps(horizon):
+        out[f"mae_{s}"] = acc[f"mae_{s}"]
+        out[f"mape_{s}"] = acc[f"mape_{s}"]
+        out[f"rmse_{s}"] = float(np.sqrt(acc[f"mse_{s}"]))
+    return out
