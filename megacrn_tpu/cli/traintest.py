@@ -98,6 +98,61 @@ def configs_from_args(args):
     return model_cfg, train_cfg
 
 
+def _load_expytky_data(args, model_cfg, train_cfg):
+    """EXPY-TKY source: monthly CSVs from --data_dir in the reference layout
+    (params.txt semantics), or the synthetic stand-in when absent."""
+    import os
+
+    import numpy as np
+
+    from megacrn_tpu.data import datasets, expytky
+
+    if args.data_dir and os.path.isdir(args.data_dir):
+        n_all = 2841
+        sub_name = ("tokyoall_link_idx.csv" if args.dataset == "EXPYTKY_ALL"
+                    else "tokyo_link_idx.csv")
+        sub_path = os.path.join(args.data_dir, sub_name)
+        sub_idx = (np.loadtxt(sub_path).astype(int)
+                   if os.path.exists(sub_path) else None)
+
+        def month(ym):
+            path = os.path.join(args.data_dir, f"expy-tky_{ym}.csv.gz")
+            speed = expytky.load_speed_csv(path, n_all, sub_idx)
+            time = expytky.load_time_csv(path, n_all, sub_idx)
+            return np.concatenate([speed, time], axis=-1).astype(np.float32)
+
+        train_months = [month("202110"), month("202111")]
+        test_months = [month("202112")]
+        return datasets.build_expytky(
+            train_months, test_months, model_cfg.seq_len, model_cfg.horizon,
+            train_cfg.batch_size, val_ratio=train_cfg.val_ratio)
+    return datasets.build_expytky_synthetic(
+        num_nodes=model_cfg.num_nodes, his_len=model_cfg.seq_len,
+        seq_len=model_cfg.horizon, batch_size=train_cfg.batch_size,
+        val_ratio=train_cfg.val_ratio)
+
+
+def _make_expytky_final_eval(model_cfg, data):
+    import functools
+
+    import jax
+
+    from megacrn_tpu.models import megacrn
+    from megacrn_tpu.train.eval_modes import eval_expytky
+
+    def final_eval(params):
+        fwd = jax.jit(functools.partial(megacrn.forward, cfg=model_cfg))
+
+        def predict(x0, y_cov):
+            return fwd(params, x0, y_cov).output
+
+        return eval_expytky(predict, data["test_loader"],
+                            model_cfg.input_dim, model_cfg.output_dim,
+                            data["scaler"])
+
+    return final_eval
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     model_cfg, train_cfg = configs_from_args(args)
@@ -106,12 +161,15 @@ def main(argv=None):
     from megacrn_tpu.train.logs import RunDir
     from megacrn_tpu.train.loop import fit
 
+    final_eval_fn = None
     if args.dataset == "SYNTH":
         data = datasets.build_synthetic(
             num_nodes=model_cfg.num_nodes, num_steps=args.synth_steps,
             seq_len=model_cfg.seq_len, horizon=model_cfg.horizon,
             batch_size=train_cfg.batch_size,
             reshuffle_each_epoch=args.reshuffle_each_epoch)
+    elif args.dataset.startswith("EXPYTKY"):
+        data = _load_expytky_data(args, model_cfg, train_cfg)
     else:
         if args.data_dir is None:
             raise SystemExit(f"--data_dir required for dataset {args.dataset}")
@@ -120,8 +178,11 @@ def main(argv=None):
             reshuffle_each_epoch=args.reshuffle_each_epoch)
 
     run = RunDir(args.save_dir, args.dataset)
+    if args.dataset.startswith("EXPYTKY"):
+        final_eval_fn = _make_expytky_final_eval(model_cfg, data)
     result = fit(model_cfg, train_cfg, data, run, resume=args.resume,
-                 test_every_epoch=args.test_every_epoch)
+                 test_every_epoch=args.test_every_epoch,
+                 final_eval_fn=final_eval_fn)
     print({k: v for k, v in result["test_metrics"].items()})
     return result
 

@@ -55,6 +55,38 @@ class MegaCRNConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class GTSConfig:
+    """GTS baseline model (graph structure learning, ``model/GTS.py``).
+
+    Defaults follow the reference harness (``model/traintest_GTS.py:228-260``
+    and the YAML block at ``model/GTS.py:485-527``). ``train_series_len`` is
+    the length of the training series fed to the Conv1d feature extractor;
+    it determines dim_fc = 16 * (train_series_len - 18).
+    """
+
+    num_nodes: int = 207
+    input_dim: int = 2  # speed + time-of-day both enter the encoder
+    output_dim: int = 1
+    horizon: int = 12
+    seq_len: int = 12
+    rnn_units: int = 64
+    num_layers: int = 1
+    max_diffusion_step: int = 3
+    embedding_dim: int = 100
+    temperature: float = 0.5
+    cl_decay_steps: int = 2000
+    use_curriculum_learning: bool = True
+    train_series_len: int = 23990
+    knn_k: int = 10
+
+    @property
+    def dim_fc(self) -> int:
+        # Two VALID k=10 convs shrink L by 18; 16 channels out
+        # (model/GTS.py:350-353,423-432).
+        return 16 * (self.train_series_len - 18)
+
+
+@dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Training-protocol hyper-parameters.
 
@@ -137,9 +169,11 @@ def model_config_for(dataset: str, **overrides) -> MegaCRNConfig:
 def train_config_for(dataset: str, **overrides) -> TrainConfig:
     base: dict = {}
     if dataset.startswith("EXPYTKY"):
-        # model_EXPYTKY/traintest_MegaCRN.py:152-176
+        # model_EXPYTKY/traintest_MegaCRN.py:152-176; the EXPY-TKY harness
+        # builds Adam WITHOUT the eps override (:74 — torch default 1e-8)
+        # and reshuffles every epoch (torch DataLoader(shuffle=True), :71).
         base.update(
-            lr=0.001, lr_milestones=(200,), max_grad_norm=None,
+            lr=0.001, epsilon=1e-8, lr_milestones=(200,), max_grad_norm=None,
             patience=10, lamb=0.01, lamb1=0.0, epochs=200,
             pred_loss="l1_normalized", val_ratio=0.25,
             reinit_xavier_uniform=True,

@@ -65,3 +65,61 @@ def build_synthetic(num_nodes: int = 32, num_steps: int = 2000,
     values, index = synthetic_speed_series(
         num_steps, num_nodes, interval_minutes, seed)
     return build_from_series(values, index, seq_len, horizon, batch_size, **kw)
+
+
+def build_expytky(train_months, test_months, his_len: int, seq_len: int,
+                  batch_size: int, val_ratio: float = 0.25,
+                  fit_on: str = "train+test", shuffle_rng=None) -> Dict:
+    """EXPY-TKY assembly (model_EXPYTKY/traintest_MegaCRN.py:262-290).
+
+    ``{train,test}_months``: lists of (T, N, 2) arrays with channels
+    [speed, weekdaytime] (from ``expytky.load_speed_csv``/``load_time_csv``
+    or synthetic). Per-column scaling over the vstacked speed matrices
+    (``fit_on='train+test'`` replicates the reference's flagged leak), windows
+    per month then vstack, chronological (1-val_ratio)/val_ratio train/val
+    split of the trainval windows, per-epoch-reshuffled train loader (torch
+    DataLoader(shuffle=True) parity, :71).
+    """
+    from megacrn_tpu.data.expytky import scale_months, window_xy
+
+    train_scaled, test_scaled, scaler = scale_months(
+        [m for m in train_months], [m for m in test_months], fit_on=fit_on)
+    x_tv, y_tv = window_xy(train_scaled, his_len, seq_len)
+    x_te, y_te = window_xy(test_scaled, his_len, seq_len)
+    train_size = int(len(x_tv) * (1 - val_ratio))
+    rng = shuffle_rng or np.random.default_rng()
+    data = {
+        "scaler": scaler, "scaler_mean": 0.0, "scaler_std": 1.0,
+        # loss/val run on the normalized scale (nn.L1Loss parity); the
+        # column scaler is only applied in the final numpy eval.
+        "train_loader": BatchLoader(x_tv[:train_size], y_tv[:train_size],
+                                    batch_size, shuffle=True,
+                                    reshuffle_each_epoch=True, rng=rng),
+        "val_loader": BatchLoader(x_tv[train_size:], y_tv[train_size:],
+                                  batch_size),
+        "test_loader": BatchLoader(x_te, y_te, batch_size),
+    }
+    return data
+
+
+def build_expytky_synthetic(num_nodes: int = 64, steps_per_month: int = 600,
+                            his_len: int = 6, seq_len: int = 6,
+                            batch_size: int = 64, seed: int = 0,
+                            **kw) -> Dict:
+    """Synthetic stand-in for the absent EXPY-TKY CSVs: 2 train months +
+    1 test month of 10-min data with the weekdaytime covariate."""
+    months = []
+    for i in range(3):
+        values, index = synthetic_speed_series(
+            steps_per_month, num_nodes, interval_minutes=10, seed=seed + i,
+            start=f"2021-{10 + i:02d}-01")
+        slots = 24 * 6
+        import pandas as pd
+
+        ts = pd.Series(index)
+        wdt = (ts.dt.weekday * slots + (ts.dt.hour * 60 + ts.dt.minute) // 10)
+        wdt = (wdt / wdt.max()).values
+        time_feat = np.tile(wdt[:, None], (1, num_nodes))
+        months.append(np.stack([values, time_feat], axis=-1).astype(np.float32))
+    return build_expytky(months[:2], months[2:], his_len, seq_len,
+                         batch_size, **kw)

@@ -71,18 +71,28 @@ def forward(
     batches_seen=0,
     rng: Optional[jax.Array] = None,
     training: bool = False,
+    shard_fn=None,
 ) -> MegaCRNOutput:
     """Full forward pass (model/MegaCRN.py:168-194).
 
     x: (B, T, N, input_dim); y_cov: (B, horizon, N, ycov_dim);
     labels: (B, horizon, N, output_dim) — required when training with
     curriculum learning. ``training`` must be a static Python bool.
+
+    ``shard_fn(kind, tensor)`` — optional GSPMD constraint hook (kinds:
+    'supports' (S,N,N), 'state' (B,N,H)); used by ``megacrn_tpu.parallel`` to
+    pin the node-partitioned layout through the scans so XLA places the
+    boundary all-gathers instead of resharding (SURVEY.md section 5,
+    node/edge partitioning).
     """
+    if shard_fn is None:
+        shard_fn = lambda kind, t: t
     batch = x.shape[0]
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     mem = params["memory"]
 
-    supports = meta_graph(mem["Memory"], mem["We1"], mem["We2"])
+    supports = shard_fn("supports",
+                        meta_graph(mem["Memory"], mem["We1"], mem["We2"]))
     enc_params, dec_params = params["encoder"], params["decoder"]
     if compute_dtype != supports.dtype:
         supports = supports.astype(compute_dtype)
@@ -100,6 +110,7 @@ def forward(
     def enc_step(states, x_t):
         out, new_states = stack_step(enc_params, x_t, states,
                                      supports, cfg.cheb_k)
+        new_states = tuple(shard_fn("state", s) for s in new_states)
         return new_states, None
 
     enc_states, _ = jax.lax.scan(enc_step, enc_states, x_tm)
@@ -108,7 +119,7 @@ def forward(
     # --- memory read (model/MegaCRN.py:178-181) ---
     h_att, query, pos, neg = query_memory(mem, h_t)
     h_t = jnp.concatenate([h_t, h_att], axis=-1)  # (B, N, H + d)
-    dec_states = tuple(h_t.astype(compute_dtype)
+    dec_states = tuple(shard_fn("state", h_t.astype(compute_dtype))
                        for _ in range(cfg.num_layers))  # same tensor per layer
 
     # --- decoder over horizon with scheduled sampling (:182-192) ---
@@ -139,6 +150,7 @@ def forward(
         x_t = jnp.concatenate([go, y_cov_t], axis=-1)
         h_de, states = stack_step(dec_params, x_t, states,
                                   supports, cfg.cheb_k)
+        states = tuple(shard_fn("state", s) for s in states)
         out_t = h_de @ proj_w + proj_b
         go_next = jnp.where(use_truth_t, label_t, out_t)
         return (go_next, states), out_t

@@ -61,6 +61,7 @@ def fit(
     test_every_epoch: bool = True,
     resume: bool = False,
     max_epochs: Optional[int] = None,
+    final_eval_fn=None,
 ) -> Dict:
     """Train MegaCRN with the reference protocol.
 
@@ -155,8 +156,13 @@ def fit(
 
     # Reload best checkpoint, final test (model/traintest_MegaCRN.py:152-155).
     params, _, _ = ckpt.load_checkpoint(run.checkpoint_path, params)
-    test = evaluate(eval_step, data["test_loader"], model_cfg,
-                    model_cfg.input_dim, model_cfg.output_dim)
+    if final_eval_fn is not None:
+        # Dataset-specific protocol (e.g. EXPY-TKY numpy metrics,
+        # model_EXPYTKY/traintest_MegaCRN.py:123-148).
+        test = final_eval_fn(params)
+    else:
+        test = evaluate(eval_step, data["test_loader"], model_cfg,
+                        model_cfg.input_dim, model_cfg.output_dim)
     logger.info("Best model horizon overall: mae:", f"{test['mae']:.4f}",
                 "mape:", f"{test['mape']:.4f}", "rmse:", f"{test['rmse']:.4f}")
     for s in (3, 6, 12):

@@ -1,0 +1,100 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh.
+
+Validates that the node-partitioned + data-parallel training step compiles,
+runs, matches the single-device math, and keeps parameter shardings stable
+across updates (SURVEY.md section 4 multi-host simulation strategy).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from megacrn_tpu.config import MegaCRNConfig, TrainConfig
+from megacrn_tpu.models import megacrn
+from megacrn_tpu.parallel.api import (make_sharded_eval_forward,
+                                      make_sharded_train_step)
+from megacrn_tpu.parallel.mesh import (make_mesh, shard_batch, shard_params)
+from megacrn_tpu.train.optim import make_optimizer
+from megacrn_tpu.train.steps import make_train_step
+
+CFG = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                    horizon=4, seq_len=4)
+TCFG = TrainConfig(batch_size=8, lr=0.01)
+
+
+def _batch(b=8):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(ks[0], (b, 4, 16, 1))
+    y = jax.random.normal(ks[1], (b, 4, 16, 1))
+    ycov = jax.random.normal(ks[2], (b, 4, 16, 1))
+    return np.asarray(x), np.asarray(y), np.asarray(ycov)
+
+
+def test_mesh_construction_and_validation():
+    mesh = make_mesh(2, 4)
+    assert mesh.shape == {"data": 2, "node": 4}
+    try:
+        make_mesh(4, 4)
+        assert False, "expected ValueError for oversubscribed mesh"
+    except ValueError:
+        pass
+
+
+def test_sharded_forward_matches_single_device():
+    mesh = make_mesh(2, 4)
+    params = megacrn.init_params(jax.random.PRNGKey(1), CFG)
+    x, y, ycov = _batch()
+    want = megacrn.forward(params, x, ycov, CFG)
+
+    sp = shard_params(params, mesh)
+    sx, sycov = shard_batch((x, ycov), mesh)
+    fwd = make_sharded_eval_forward(CFG, mesh)
+    got = fwd(sp, sx, sycov)
+    np.testing.assert_allclose(np.asarray(got.output), np.asarray(want.output),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_train_step_matches_single_device():
+    params = megacrn.init_params(jax.random.PRNGKey(2), CFG)
+    opt = make_optimizer(TCFG, steps_per_epoch=10)
+    opt_state = opt.init(params)
+    x, y, ycov = _batch()
+    rng = jax.random.PRNGKey(3)
+
+    # Single-device baseline (curriculum threshold ~0 at huge batches_seen so
+    # the coin flips can't diverge between the two programs).
+    base_step = make_train_step(CFG, TCFG, opt)
+    p1, o1, loss1 = base_step(params, opt_state, x, y, ycov, 1e9, rng)
+
+    mesh = make_mesh(2, 4)
+    sp = shard_params(params, mesh)
+    so = opt.init(sp)
+    sx, sy, sycov = shard_batch((x, y, ycov), mesh)
+    sharded_step = make_sharded_train_step(CFG, TCFG, opt, mesh, donate=False)
+    p2, o2, loss2 = sharded_step(sp, so, sx, sy, sycov, 1e9, rng)
+
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_param_shardings_stable_across_updates():
+    mesh = make_mesh(2, 4)
+    params = megacrn.init_params(jax.random.PRNGKey(4), CFG)
+    opt = make_optimizer(TCFG, steps_per_epoch=10)
+    sp = shard_params(params, mesh)
+    so = opt.init(sp)
+    x, y, ycov = _batch()
+    sx, sy, sycov = shard_batch((x, y, ycov), mesh)
+    step = make_sharded_train_step(CFG, TCFG, opt, mesh, donate=False)
+    p2, o2, _ = step(sp, so, sx, sy, sycov, 0.0, jax.random.PRNGKey(5))
+    # We1/We2 stay row-sharded over node after the update.
+    for name in ["We1", "We2"]:
+        spec = p2["memory"][name].sharding.spec
+        assert spec[0] == "node", f"{name} lost node sharding: {spec}"
+    # Loss stays finite over several steps.
+    p, o = p2, o2
+    for i in range(3):
+        p, o, loss = step(p, o, sx, sy, sycov, float(i), jax.random.PRNGKey(i))
+    assert np.isfinite(float(loss))
