@@ -12,9 +12,9 @@ Metric definition (documented so it is comparable across rounds):
   edges/s = nnz(supports) * support_applications_per_step * batch / sec_per_step
 where nnz = 2 * N^2 (two dense learned supports), and applications per train
 step counts every forward-pass ``A @ x`` product: (cheb_k - 1) applications
-per support per aggregation, 3 aggregations per GCRN cell (x, h, z*h), times
-(seq_len + horizon) cell steps. The backward pass is NOT counted (forward
-edge-traversals only — conservative).
+per support per Chebyshev stack, 2 stacks per GCRN cell ([x||h] shared by the
+gate, and z*h for the candidate), times (seq_len + horizon) cell steps. The
+backward pass is NOT counted (forward edge-traversals only — conservative).
 
 vs_baseline = our sec_per_step advantage over the reference PyTorch
 implementation measured in this same environment (tools/torch_baseline.json,
@@ -40,9 +40,12 @@ def main():
     from megacrn_tpu.train.steps import make_train_step
 
     n, horizon, seq_len, batch = 1843, 6, 6, 64
+    # bfloat16 compute is the production-throughput mode (params stay f32;
+    # measured accuracy-neutral on the synthetic training check).
     cfg = MegaCRNConfig(num_nodes=n, seq_len=seq_len, horizon=horizon,
                         rnn_units=32, mem_num=10, mem_dim=32,
-                        use_curriculum_learning=True)
+                        use_curriculum_learning=True,
+                        compute_dtype="bfloat16")
     tcfg = TrainConfig(lr=1e-3, max_grad_norm=None, lamb=0.01, lamb1=0.0,
                        pred_loss="l1_normalized", batch_size=batch)
 
@@ -62,18 +65,22 @@ def main():
                                    jax.random.PRNGKey(2))
     float(loss)
 
-    steps = 20
+    # Sync every 10 steps: deep unsynced queues wedge the axon tunnel, but a
+    # per-step sync adds the full ~25-100 ms tunnel round-trip to every step
+    # and overstates the time by ~30%. 10-step batches amortize the RTT to
+    # noise while staying under the wedge threshold.
+    steps = 30
     t0 = time.time()
     for i in range(steps):
         params, opt_state, loss = step(params, opt_state, x, y, ycov,
                                        float(i), jax.random.PRNGKey(i))
-        loss_val = float(loss)  # per-step sync: deep async queues can wedge
-        # the axon tunnel, and the transfer is negligible vs the step
+        if i % 10 == 9:
+            loss_val = float(loss)
     sec_per_step = (time.time() - t0) / steps
 
     nnz = 2 * n * n
     apps_per_support_stack = cfg.cheb_k - 1  # A-applications per support
-    aggregations_per_cell = 3  # x, h, z*h (gate+candidate share agg(x))
+    aggregations_per_cell = 2  # [x||h] stack + z*h stack
     cells_per_step = seq_len + horizon
     edge_traversals = (nnz * apps_per_support_stack * aggregations_per_cell
                        * cells_per_step * batch)

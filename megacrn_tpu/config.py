@@ -36,6 +36,7 @@ class MegaCRNConfig:
     # TPU knobs (no reference counterpart):
     compute_dtype: str = "float32"  # "float32" | "bfloat16" matmul inputs
     graph_backend: str = "dense"  # "dense" einsum | "pallas" blocked kernels
+    remat: bool = False  # rematerialize cell steps in backward (saves HBM)
 
     def __post_init__(self):
         # The reference Chebyshev stack is [I, A, ...] so cheb_k==1 would make

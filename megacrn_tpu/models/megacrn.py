@@ -113,6 +113,11 @@ def forward(
         new_states = tuple(shard_fn("state", s) for s in new_states)
         return new_states, None
 
+    if cfg.remat:
+        # Trade FLOPs for HBM: recompute each cell step in the backward pass
+        # instead of storing the (B, N, S*K, C) aggregation stacks.
+        enc_step = jax.checkpoint(enc_step)
+
     enc_states, _ = jax.lax.scan(enc_step, enc_states, x_tm)
     h_t = enc_states[-1].astype(jnp.float32)  # last layer's last state
 
@@ -154,6 +159,9 @@ def forward(
         out_t = h_de @ proj_w + proj_b
         go_next = jnp.where(use_truth_t, label_t, out_t)
         return (go_next, states), out_t
+
+    if cfg.remat:
+        dec_step = jax.checkpoint(dec_step)
 
     (_, _), outs = jax.lax.scan(
         dec_step, (go0, dec_states), (y_cov_tm, labels_tm, use_truth))

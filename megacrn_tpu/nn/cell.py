@@ -75,11 +75,19 @@ def gcrn_cell_apply(params: Dict, x: jnp.ndarray, h: jnp.ndarray,
     """One GCRN step (model/MegaCRN.py:38-48).
 
     x: (B, N, dim_in); h: (B, N, hidden). Returns new hidden (B, N, hidden).
+
+    Aggregation is linear and blockwise over the feature concat, so the gate
+    aggregates ``[x || h]`` in ONE fat stack and the candidate reuses its
+    x-slice — 2 Chebyshev stacks per step instead of the reference's 4
+    half-stacks, with identical math and weight layout.
     """
-    agg_x = cheb_aggregate(supports, x, cheb_k)  # shared by gate & candidate
-    agg_h = cheb_aggregate(supports, h, cheb_k)
-    z_r = jax.nn.sigmoid(_project(agg_x, agg_h, params["gate"]))
+    cx = x.shape[-1]
+    b, n = x.shape[0], x.shape[1]
+    agg_xh = cheb_aggregate(supports, jnp.concatenate([x, h], -1), cheb_k)
+    sk = agg_xh.shape[2]
+    z_r = jax.nn.sigmoid(
+        agg_xh.reshape(b, n, -1) @ params["gate"]["W"] + params["gate"]["b"])
     z, r = jnp.split(z_r, 2, axis=-1)
     agg_zh = cheb_aggregate(supports, z * h, cheb_k)
-    hc = jnp.tanh(_project(agg_x, agg_zh, params["update"]))
+    hc = jnp.tanh(_project(agg_xh[..., :cx], agg_zh, params["update"]))
     return r * h + (1.0 - r) * hc

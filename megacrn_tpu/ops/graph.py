@@ -49,6 +49,11 @@ def cheb_aggregate(
       (B, N, S*cheb_k, C): ``out[:, :, s*K + k]`` is ``T_k(A_s) @ x`` with
       ``T_0 = I, T_1 = A`` — exactly the reference's ``support_set`` order
       (``model/MegaCRN.py:17-26``).
+
+    Implementation note: an S-batched einsum (``snm,sbmc->sbnc``) was
+    measured SLOWER than per-support matmuls on v5e (169 vs 138 ms/step at
+    the EXPY-TKY config) — the batched layout defeats XLA's single-matmul
+    tiling — so the recursion stays a plain per-support loop.
     """
     num_supports = supports.shape[0]
     terms = []

@@ -20,7 +20,7 @@ sys.path.insert(0, "/root/reference/model")
 from MegaCRN import MegaCRN  # noqa: E402
 
 
-def measure(num_threads: int, steps: int = 3):
+def measure(num_threads: int, steps: int = 1):
     torch.set_num_threads(num_threads)
     n, t, units, mem_num, mem_dim, batch = 1843, 6, 32, 10, 32, 64
     model = MegaCRN(num_nodes=n, input_dim=1, output_dim=1, horizon=t,
@@ -31,11 +31,6 @@ def measure(num_threads: int, steps: int = 3):
     y = torch.randn(batch, t, n, 1)
     ycov = torch.randn(batch, t, n, 1)
     model.train()
-    # warmup
-    out, h_att, q, pos, neg = model(x, ycov, y, 0)
-    loss = torch.nn.functional.l1_loss(out, y)
-    loss.backward()
-    opt.step()
     t0 = time.time()
     for _ in range(steps):
         opt.zero_grad()
@@ -52,7 +47,7 @@ def main():
     # The reference protocol pins 1 BLAS thread, but a 1-thread run exceeds
     # 5 min/step at this scale; measure all-core only (charitable baseline).
     res = {}
-    res["sec_per_step_allcore"] = measure(os.cpu_count() or 8, steps=3)
+    res["sec_per_step_allcore"] = measure(os.cpu_count() or 8, steps=1)
     res["best_sec_per_step"] = res["sec_per_step_allcore"]
     res["config"] = {"num_nodes": 1843, "horizon": 6, "seq_len": 6,
                      "rnn_units": 32, "mem_num": 10, "mem_dim": 32,
