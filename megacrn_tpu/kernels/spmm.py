@@ -74,6 +74,36 @@ def transpose_block_ell(a: np.ndarray) -> BlockELL:
     return to_block_ell(np.ascontiguousarray(a.T))
 
 
+def rcm_ordering(adj: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill-McKee node ordering (BFS by ascending degree).
+
+    Road graphs have spatial locality but arbitrary node numbering; RCM
+    reduces bandwidth so nonzeros cluster near the diagonal and the 128x128
+    block pack touches far fewer tiles. Apply as
+    ``adj[perm][:, perm]`` (and permute node features consistently).
+    """
+    n = adj.shape[0]
+    pattern = (np.abs(adj) + np.abs(adj.T)) > 0
+    degree = pattern.sum(1)
+    visited = np.zeros(n, bool)
+    order = []
+    while len(order) < n:
+        # start each component from its minimum-degree unvisited node
+        start = int(np.argmin(np.where(visited, np.iinfo(np.int64).max,
+                                       degree)))
+        queue = [start]
+        visited[start] = True
+        while queue:
+            u = queue.pop(0)
+            order.append(u)
+            nbrs = np.nonzero(pattern[u] & ~visited)[0]
+            nbrs = nbrs[np.argsort(degree[nbrs], kind="stable")]
+            for v in nbrs:
+                visited[v] = True
+                queue.append(int(v))
+    return np.asarray(order[::-1], np.int64)
+
+
 def _spmm_kernel(cols_ref, data_ref, x_ref, o_ref, acc_ref):
     """Grid: (nblk_rows, f_tiles, max_blocks). The r-axis (innermost) sweeps
     the row-block's tile list; x's BlockSpec index_map chases cols[i, r] via
@@ -94,11 +124,25 @@ def _spmm_kernel(cols_ref, data_ref, x_ref, o_ref, acc_ref):
 
 def _spmm_padded(a: BlockELL, x: jnp.ndarray, interpret: bool = False
                  ) -> jnp.ndarray:
-    """x: (n, f) with n == a.n and f a multiple of 128."""
+    """x: (n, f) with n == a.n and f a multiple of 128.
+
+    The feature tile is as wide as fits comfortably in VMEM (up to 8 lanes of
+    128): each grid program then runs a (128, 128) @ (128, f_blk) MXU matmul
+    instead of a square-tile one — at road-graph sparsity the kernel is
+    launch/latency-bound, so fewer, fatter programs win.
+    """
     n, f = x.shape
     nblk = n // BLOCK
     max_blocks = a.cols.shape[1]
-    f_tiles = f // BLOCK
+    # Feature tile up to 4 lanes of 128: each program runs a
+    # (128, 128) @ (128, <=512) MXU matmul. Wider tiles were measured to
+    # compile pathologically slowly through the remote Mosaic path.
+    f_blk = min(f, 4 * BLOCK)
+    pad = (-f) % f_blk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+        f = x.shape[1]
+    f_tiles = f // f_blk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # cols
@@ -107,14 +151,14 @@ def _spmm_padded(a: BlockELL, x: jnp.ndarray, interpret: bool = False
             pl.BlockSpec((1, 1, BLOCK, BLOCK),
                          lambda i, j, r, cols: (i, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, BLOCK),
+            pl.BlockSpec((BLOCK, f_blk),
                          lambda i, j, r, cols: (cols[i, r], j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK, BLOCK),
+        out_specs=pl.BlockSpec((BLOCK, f_blk),
                                lambda i, j, r, cols: (i, j),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((BLOCK, BLOCK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BLOCK, f_blk), jnp.float32)],
     )
     return pl.pallas_call(
         _spmm_kernel,
@@ -132,18 +176,27 @@ def _pad_cols(x: jnp.ndarray, mult: int) -> jnp.ndarray:
     return x
 
 
+def _auto_interpret(interpret):
+    if interpret is None:
+        # Mosaic only exists on TPU; interpret everywhere else (CPU tests).
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 3))
 def spmm(a: BlockELL, a_t: BlockELL, x: jnp.ndarray,
-         interpret: bool = False) -> jnp.ndarray:
+         interpret=None) -> jnp.ndarray:
     """y = A @ x for a static-pattern sparse A.
 
     a / a_t: forward and transposed BlockELL packs (host-built, constants
     under jit). x: (n_orig, f). Returns (n_orig, f).
+    interpret=None auto-selects interpreter mode off-TPU.
     """
     return _spmm_fwd(a, a_t, x, interpret)[0]
 
 
-def _spmm_impl(a: BlockELL, x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+def _spmm_impl(a: BlockELL, x: jnp.ndarray, interpret) -> jnp.ndarray:
+    interpret = _auto_interpret(interpret)
     n_orig, f = x.shape
     xp = jnp.zeros((a.n, f), x.dtype).at[:n_orig].set(x)
     xp = _pad_cols(xp, BLOCK)
@@ -163,7 +216,7 @@ spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 
 def spmm_batched(a: BlockELL, a_t: BlockELL, x: jnp.ndarray,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret=None) -> jnp.ndarray:
     """Batched aggregation ``einsum('nm,bmc->bnc')`` through the kernel:
     (B, n, C) -> fold (B, C) into the feature axis -> one SpMM."""
     b, n, c = x.shape

@@ -19,7 +19,7 @@ from megacrn_tpu.nn.init import torch_linear_bias, torch_linear_weight
 from megacrn_tpu.nn.memory import memory_init, query_memory
 from megacrn_tpu.nn.seq import (decoder_init, encoder_init, init_hidden,
                                 stack_step)
-from megacrn_tpu.ops.graph import meta_graph
+from megacrn_tpu.ops.graph import cheb_aggregate, cheb_aggregate_sparse, meta_graph
 
 
 class MegaCRNOutput(NamedTuple):
@@ -72,6 +72,7 @@ def forward(
     rng: Optional[jax.Array] = None,
     training: bool = False,
     shard_fn=None,
+    road_supports=None,
 ) -> MegaCRNOutput:
     """Full forward pass (model/MegaCRN.py:168-194).
 
@@ -91,10 +92,24 @@ def forward(
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     mem = params["memory"]
 
-    supports = shard_fn("supports",
-                        meta_graph(mem["Memory"], mem["We1"], mem["We2"]))
+    if cfg.graph_backend == "road_sparse":
+        # Static sparse road supports through the Pallas SpMM kernel; the
+        # learned meta-graph is bypassed for aggregation (memory read and
+        # contrastive losses remain). cfg.num_supports must equal
+        # len(road_supports) so the AGCN weight widths line up.
+        if road_supports is None:
+            raise ValueError("graph_backend='road_sparse' requires "
+                             "road_supports=[(pack, pack_t), ...]")
+        if len(road_supports) != cfg.num_supports:
+            raise ValueError("len(road_supports) != cfg.num_supports")
+        supports = road_supports
+        aggregate = cheb_aggregate_sparse
+    else:
+        supports = shard_fn("supports",
+                            meta_graph(mem["Memory"], mem["We1"], mem["We2"]))
+        aggregate = cheb_aggregate
     enc_params, dec_params = params["encoder"], params["decoder"]
-    if compute_dtype != supports.dtype:
+    if compute_dtype != jnp.float32 and aggregate is cheb_aggregate:
         supports = supports.astype(compute_dtype)
         x = x.astype(compute_dtype)
         y_cov = y_cov.astype(compute_dtype)
@@ -109,7 +124,7 @@ def forward(
 
     def enc_step(states, x_t):
         out, new_states = stack_step(enc_params, x_t, states,
-                                     supports, cfg.cheb_k)
+                                     supports, cfg.cheb_k, aggregate)
         new_states = tuple(shard_fn("state", s) for s in new_states)
         return new_states, None
 
@@ -154,7 +169,7 @@ def forward(
         y_cov_t, label_t, use_truth_t = inp
         x_t = jnp.concatenate([go, y_cov_t], axis=-1)
         h_de, states = stack_step(dec_params, x_t, states,
-                                  supports, cfg.cheb_k)
+                                  supports, cfg.cheb_k, aggregate)
         states = tuple(shard_fn("state", s) for s in states)
         out_t = h_de @ proj_w + proj_b
         go_next = jnp.where(use_truth_t, label_t, out_t)

@@ -71,7 +71,8 @@ def _project(agg_x: jnp.ndarray, agg_h: jnp.ndarray, p: Dict) -> jnp.ndarray:
 
 
 def gcrn_cell_apply(params: Dict, x: jnp.ndarray, h: jnp.ndarray,
-                    supports: jnp.ndarray, cheb_k: int) -> jnp.ndarray:
+                    supports, cheb_k: int,
+                    aggregate=cheb_aggregate) -> jnp.ndarray:
     """One GCRN step (model/MegaCRN.py:38-48).
 
     x: (B, N, dim_in); h: (B, N, hidden). Returns new hidden (B, N, hidden).
@@ -83,11 +84,10 @@ def gcrn_cell_apply(params: Dict, x: jnp.ndarray, h: jnp.ndarray,
     """
     cx = x.shape[-1]
     b, n = x.shape[0], x.shape[1]
-    agg_xh = cheb_aggregate(supports, jnp.concatenate([x, h], -1), cheb_k)
-    sk = agg_xh.shape[2]
+    agg_xh = aggregate(supports, jnp.concatenate([x, h], -1), cheb_k)
     z_r = jax.nn.sigmoid(
         agg_xh.reshape(b, n, -1) @ params["gate"]["W"] + params["gate"]["b"])
     z, r = jnp.split(z_r, 2, axis=-1)
-    agg_zh = cheb_aggregate(supports, z * h, cheb_k)
+    agg_zh = aggregate(supports, z * h, cheb_k)
     hc = jnp.tanh(_project(agg_xh[..., :cx], agg_zh, params["update"]))
     return r * h + (1.0 - r) * hc

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from megacrn_tpu.nn.cell import gcrn_cell_apply, gcrn_cell_init
+from megacrn_tpu.ops.graph import cheb_aggregate
 
 
 def encoder_init(key, dim_in: int, dim_out: int, cheb_k: int,
@@ -36,14 +37,15 @@ decoder_init = encoder_init  # same structure (model/MegaCRN.py:91-101)
 
 
 def stack_step(layer_params: List[Dict], x_t: jnp.ndarray,
-               states: Tuple[jnp.ndarray, ...], supports: jnp.ndarray,
-               cheb_k: int) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+               states: Tuple[jnp.ndarray, ...], supports,
+               cheb_k: int, aggregate=cheb_aggregate
+               ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """One time step through the layer stack; layer i consumes layer i-1's
     fresh output (model/MegaCRN.py:107-112). Returns (top output, new states)."""
     inp = x_t
     new_states = []
     for p, h in zip(layer_params, states):
-        h_new = gcrn_cell_apply(p, inp, h, supports, cheb_k)
+        h_new = gcrn_cell_apply(p, inp, h, supports, cheb_k, aggregate)
         new_states.append(h_new)
         inp = h_new
     return inp, tuple(new_states)

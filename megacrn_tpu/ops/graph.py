@@ -68,6 +68,50 @@ def cheb_aggregate(
     return jnp.stack(terms, axis=2)
 
 
+def cheb_aggregate_sparse(packs, x: jnp.ndarray, cheb_k: int,
+                          interpret=None) -> jnp.ndarray:
+    """Chebyshev stack over static sparse supports via the Pallas block-ELL
+    SpMM kernel (megacrn_tpu.kernels.spmm). Same output layout/order as
+    ``cheb_aggregate``.
+
+    packs: sequence of (BlockELL, BlockELL_transposed) pairs, one per
+    support; the sparsity pattern is fixed at trace time.
+    """
+    from megacrn_tpu.kernels.spmm import spmm_batched
+
+    terms = []
+    for pack, pack_t in packs:
+        t_prev = x
+        t_cur = spmm_batched(pack, pack_t, x, interpret)
+        terms.append(t_prev)
+        terms.append(t_cur)
+        for _ in range(2, cheb_k):
+            t_prev, t_cur = t_cur, (
+                2.0 * spmm_batched(pack, pack_t, t_cur, interpret) - t_prev)
+            terms.append(t_cur)
+    return jnp.stack(terms, axis=2)
+
+
+def dual_random_walk_supports(adj) -> "tuple":
+    """DCRNN-style dual random-walk normalisation of a static road adjacency:
+    ``[(D^-1 A)^T, (D^-1 A^T)^T]`` (the sparse-support convention the
+    reference GTS aspires to in its commented path, GTS.py:95-99).
+
+    Returns two dense numpy matrices with the same sparsity pattern as
+    adj/adj^T — pack with ``kernels.spmm.to_block_ell`` for the sparse
+    backend.
+    """
+    import numpy as np
+
+    def rw(a):
+        d = a.sum(1)
+        d_inv = np.where(d > 0, 1.0 / d, 0.0)
+        return (d_inv[:, None] * a).T
+
+    adj = np.asarray(adj, np.float32)
+    return rw(adj), rw(adj.T)
+
+
 def meta_graph(
     memory: jnp.ndarray, we1: jnp.ndarray, we2: jnp.ndarray
 ) -> jnp.ndarray:

@@ -98,3 +98,39 @@ def test_param_shardings_stable_across_updates():
     for i in range(3):
         p, o, loss = step(p, o, sx, sy, sycov, float(i), jax.random.PRNGKey(i))
     assert np.isfinite(float(loss))
+
+
+def test_ring_aggregate_matches_dense():
+    from megacrn_tpu.parallel.ring import make_ring_aggregate
+    from megacrn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(2, 4)
+    n, b, c = 32, 8, 6  # n divisible by node axis (4)
+    support = jax.random.normal(jax.random.PRNGKey(0), (n, n))
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, n, c))
+    agg = make_ring_aggregate(mesh)
+    got = agg(support, x)
+    want = jnp.einsum("nm,bmc->bnc", support, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_ring_aggregate_grads_flow():
+    from megacrn_tpu.parallel.ring import make_ring_aggregate
+    from megacrn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1, 8)
+    n, b, c = 16, 2, 3
+    support = jax.random.normal(jax.random.PRNGKey(2), (n, n))
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, n, c))
+    agg = make_ring_aggregate(mesh)
+
+    def loss(s, x):
+        return jnp.sum(agg(s, x) ** 2)
+
+    gs, gx = jax.grad(loss, argnums=(0, 1))(support, x)
+    want_y = jnp.einsum("nm,bmc->bnc", support, x)
+    want_gx = jnp.einsum("nm,bnc->bmc", support, 2 * want_y)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(want_gx),
+                               atol=1e-4, rtol=1e-4)
+    assert np.all(np.isfinite(np.asarray(gs)))

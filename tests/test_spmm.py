@@ -62,3 +62,69 @@ def test_spmm_batched_matches_einsum():
     y = spmm_batched(pack, pack_t, jnp.asarray(x), True)
     want = np.einsum("nm,bmc->bnc", a, x)
     np.testing.assert_allclose(np.asarray(y), want, atol=1e-4, rtol=1e-4)
+
+
+def test_megacrn_road_sparse_backend():
+    """Full model forward with the sparse road backend vs dense equivalent."""
+    import jax
+    from megacrn_tpu.config import MegaCRNConfig
+    from megacrn_tpu.models import megacrn
+    from megacrn_tpu.ops.graph import dual_random_walk_supports
+
+    n = 20
+    adj = synthetic_road_adjacency(n, avg_degree=4, seed=7)
+    s1, s2 = dual_random_walk_supports(adj)
+    packs = [(to_block_ell(s1), transpose_block_ell(s1)),
+             (to_block_ell(s2), transpose_block_ell(s2))]
+
+    cfg = MegaCRNConfig(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=3, seq_len=3, graph_backend="road_sparse")
+    params = megacrn.init_params(jax.random.PRNGKey(0), cfg)
+    x = np.random.RandomState(0).randn(2, 3, n, 1).astype(np.float32)
+    ycov = np.random.RandomState(1).randn(2, 3, n, 1).astype(np.float32)
+    out = megacrn.forward(params, x, ycov, cfg, road_supports=packs)
+
+    # Dense-math equivalent: same params, dense supports replacing the
+    # meta-graph via monkeypatched aggregation.
+    cfg_dense = MegaCRNConfig(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8,
+                              horizon=3, seq_len=3)
+    from megacrn_tpu.ops import graph as graph_ops
+
+    dense_supports = jnp.stack([jnp.asarray(s1), jnp.asarray(s2)])
+    orig = graph_ops.meta_graph
+    try:
+        graph_ops.meta_graph = lambda *a: dense_supports
+        import megacrn_tpu.models.megacrn as mm
+        mm.meta_graph = graph_ops.meta_graph
+        want = megacrn.forward(params, x, ycov, cfg_dense)
+    finally:
+        graph_ops.meta_graph = orig
+        mm.meta_graph = orig
+    np.testing.assert_allclose(np.asarray(out.output),
+                               np.asarray(want.output), atol=1e-4, rtol=1e-4)
+
+
+def test_rcm_reduces_block_count():
+    from megacrn_tpu.kernels.spmm import rcm_ordering
+
+    n = 400
+    # locality graph scrambled by a random permutation
+    rng = np.random.RandomState(0)
+    base = np.zeros((n, n), np.float32)
+    idx = np.arange(n)
+    for d in (1, 2, 3):
+        base[idx, (idx + d) % n] = 1
+        base[(idx + d) % n, idx] = 1
+    scram = rng.permutation(n)
+    a = base[scram][:, scram]
+
+    perm = rcm_ordering(a)
+    a_rcm = a[perm][:, perm]
+    blocks_before = to_block_ell(a).cols.shape[1]
+    blocks_after = to_block_ell(a_rcm).cols.shape[1]
+    assert blocks_after < blocks_before
+    # Same matrix up to permutation: SpMM result maps back exactly.
+    x = rng.randn(n, 8).astype(np.float32)
+    y = spmm(to_block_ell(a_rcm), transpose_block_ell(a_rcm),
+             jnp.asarray(x[perm]), True)
+    np.testing.assert_allclose(np.asarray(y), (a @ x)[perm], atol=1e-4)
