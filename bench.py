@@ -34,6 +34,16 @@ import jax.numpy as jnp
 
 
 def main():
+    # Persistent compilation cache: the EXPY-TKY-scale step takes ~20s to
+    # compile cold; cache it so repeated driver runs start hot.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knob
+
     from megacrn_tpu.config import MegaCRNConfig, TrainConfig
     from megacrn_tpu.models import megacrn
     from megacrn_tpu.train.optim import make_optimizer

@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reshuffle_each_epoch", action="store_true",
                    help="per-epoch shuffle (off = reference parity: one "
                         "construction-time permutation)")
+    p.add_argument("--eval_aggregation", type=str, default="per_batch",
+                   choices=["per_batch", "concat"],
+                   help="'per_batch' reproduces README numbers; 'concat' is "
+                        "the traintestv1 full-concat-and-trim flavor")
     # synthetic source
     p.add_argument("--synth_steps", type=int, default=4000)
     # mesh
@@ -132,6 +136,29 @@ def _load_expytky_data(args, model_cfg, train_cfg):
         val_ratio=train_cfg.val_ratio)
 
 
+def _make_concat_final_eval(model_cfg, data):
+    """traintestv1 flavor (model/traintestv1_MegaCRN.py:54-92): global
+    metrics over concatenated, pad-trimmed, inverse-transformed preds."""
+    import functools
+
+    import jax
+
+    from megacrn_tpu.models import megacrn
+    from megacrn_tpu.train.eval_modes import eval_concat
+
+    def final_eval(params):
+        fwd = jax.jit(functools.partial(megacrn.forward, cfg=model_cfg))
+
+        def predict(x0, y_cov):
+            return fwd(params, x0, y_cov).output
+
+        return eval_concat(predict, data["test_loader"], model_cfg.input_dim,
+                           model_cfg.output_dim, data["scaler_mean"],
+                           data["scaler_std"])
+
+    return final_eval
+
+
 def _make_expytky_final_eval(model_cfg, data):
     import functools
 
@@ -180,6 +207,8 @@ def main(argv=None):
     run = RunDir(args.save_dir, args.dataset)
     if args.dataset.startswith("EXPYTKY"):
         final_eval_fn = _make_expytky_final_eval(model_cfg, data)
+    elif args.eval_aggregation == "concat":
+        final_eval_fn = _make_concat_final_eval(model_cfg, data)
     result = fit(model_cfg, train_cfg, data, run, resume=args.resume,
                  test_every_epoch=args.test_every_epoch,
                  final_eval_fn=final_eval_fn)

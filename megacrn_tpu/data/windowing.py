@@ -43,8 +43,16 @@ def window_series(
     min_t = abs(int(min(x_offsets)))
     max_t = abs(num_samples - abs(int(max(y_offsets))))
     anchors = np.arange(min_t, max_t)
-    x = data[anchors[:, None] + np.asarray(x_offsets)[None, :]]
-    y = data[anchors[:, None] + np.asarray(y_offsets)[None, :]]
+    if data.ndim == 3 and data.dtype == np.float32:
+        # Native gather (C++ strided memcpy, megacrn_tpu/data/native.py);
+        # falls back to numpy fancy indexing automatically.
+        from megacrn_tpu.data import native
+
+        x = native.window_gather(data, anchors, np.asarray(x_offsets))
+        y = native.window_gather(data, anchors, np.asarray(y_offsets))
+    else:
+        x = data[anchors[:, None] + np.asarray(x_offsets)[None, :]]
+        y = data[anchors[:, None] + np.asarray(y_offsets)[None, :]]
     return x, y
 
 
