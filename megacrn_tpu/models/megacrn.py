@@ -92,7 +92,25 @@ def forward(
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     mem = params["memory"]
 
-    if cfg.graph_backend == "road_sparse":
+    if cfg.graph_backend == "sparse_meta":
+        # Learned sparse meta-graph restricted to a static edge pattern
+        # (framework extension for large N): SDDMM + masked row softmax +
+        # differentiable block SpMM (megacrn_tpu.kernels.sparse_graph).
+        from megacrn_tpu.kernels.sparse_graph import (
+            cheb_aggregate_learned_sparse, sparse_meta_graph)
+
+        if road_supports is None:
+            raise ValueError("graph_backend='sparse_meta' requires "
+                             "road_supports=BlockPattern")
+        pattern = road_supports
+        tiles = sparse_meta_graph(mem["Memory"], mem["We1"], mem["We2"],
+                                  pattern)
+        supports = tiles
+
+        def aggregate(tiles_, x_, k_):
+            return cheb_aggregate_learned_sparse(tiles_, pattern, x_, k_)
+
+    elif cfg.graph_backend == "road_sparse":
         # Static sparse road supports through the Pallas SpMM kernel; the
         # learned meta-graph is bypassed for aggregation (memory read and
         # contrastive losses remain). cfg.num_supports must equal

@@ -120,6 +120,11 @@ def fit(
                 params, opt_state, x0, y0, y_cov, float(batches_seen), k_step)
             train_losses.append(loss)
             batches_seen += 1
+            if batches_seen % 10 == 0:
+                # Periodic host sync: bounds the async dispatch queue (the
+                # axon TPU tunnel wedges on deep unsynced queues) at
+                # negligible amortized cost.
+                float(loss)
         train_loss = float(np.mean([float(l) for l in train_losses]))
 
         val = evaluate(eval_step, data["val_loader"], model_cfg,
