@@ -33,10 +33,12 @@ def _finalize(splits: Dict, batch_size: int, shuffle_rng=None,
     rng = shuffle_rng or np.random.default_rng()
     for cat in ["train", "val", "test"]:
         x, y = splits[cat]
-        x = np.array(x, copy=True)
-        y = np.array(y, copy=True)
-        x[..., 0] = scaler.transform(x[..., 0])
-        y[..., 0] = scaler.transform(y[..., 0])
+        x = np.ascontiguousarray(x, np.float32)
+        y = np.ascontiguousarray(y, np.float32)
+        from megacrn_tpu.data import native
+
+        native.scale_channel_inplace(x, 0, scaler.mean, scaler.std)
+        native.scale_channel_inplace(y, 0, scaler.mean, scaler.std)
         data[f"x_{cat}"], data[f"y_{cat}"] = x, y
         data[f"{cat}_loader"] = BatchLoader(
             x, y, batch_size, shuffle=(cat == "train"), rng=rng,

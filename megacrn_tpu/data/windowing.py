@@ -17,7 +17,8 @@ def time_in_day_feature(index: "np.ndarray", num_nodes: int) -> np.ndarray:
     """Fraction-of-day channel from a datetime64 index
     (generate_training_data.py:32-33)."""
     time_ind = (index - index.astype("datetime64[D]")) / np.timedelta64(1, "D")
-    return np.tile(time_ind, [1, num_nodes, 1]).transpose((2, 1, 0))
+    return np.tile(time_ind.astype(np.float32),
+                   [1, num_nodes, 1]).transpose((2, 1, 0))
 
 
 def day_in_week_feature(index, num_nodes: int) -> np.ndarray:
@@ -73,7 +74,7 @@ def generate_seq2seq_dataset(
         channels.append(time_in_day_feature(index, num_nodes))
     if add_day_in_week:
         channels.append(day_in_week_feature(index, num_nodes))
-    data = np.concatenate(channels, axis=-1)
+    data = np.concatenate(channels, axis=-1).astype(np.float32)
     x_offsets = np.arange(-(seq_len - 1), 1)
     y_offsets = np.arange(1, horizon + 1)
     return window_series(data, x_offsets, y_offsets)

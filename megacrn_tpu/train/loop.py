@@ -14,6 +14,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from megacrn_tpu.config import MegaCRNConfig, TrainConfig
@@ -48,7 +49,9 @@ def evaluate(eval_step, loader: BatchLoader, model_cfg: MegaCRNConfig,
     batch_metrics = []
     for x, y in loader:
         x0, y0, y_cov = prepare_x_y(x, y, input_dim, output_dim)
-        batch_metrics.append(eval_step(x0, y0, y_cov))
+        # One host transfer per batch (a per-scalar float() would pay the
+        # tunnel round-trip ~16x per batch).
+        batch_metrics.append(jax.device_get(eval_step(x0, y0, y_cov)))
     return summarize_eval(batch_metrics, model_cfg.horizon)
 
 
@@ -112,12 +115,14 @@ def fit(
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         train_losses = []
+        key, k_epoch = jax.random.split(key)  # one host RNG op per EPOCH;
+        # per-step keys are folded in on-device inside train_step
         for x, y in data["train_loader"]:
             x0, y0, y_cov = prepare_x_y(x, y, model_cfg.input_dim,
                                         model_cfg.output_dim)
-            key, k_step = jax.random.split(key)
             params, opt_state, loss = train_step(
-                params, opt_state, x0, y0, y_cov, float(batches_seen), k_step)
+                params, opt_state, x0, y0, y_cov,
+                jnp.float32(batches_seen), k_epoch)
             train_losses.append(loss)
             batches_seen += 1
             if batches_seen % 10 == 0:

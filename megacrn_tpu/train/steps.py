@@ -58,6 +58,10 @@ def make_train_step(
 
     @jax.jit
     def train_step(params, opt_state, x, y, y_cov, batches_seen, rng):
+        # Derive the per-step key INSIDE the jit (fold_in on the step
+        # counter): host-side jax.random.split per step would serialize a
+        # device round-trip chain through the axon tunnel.
+        rng = jax.random.fold_in(rng, batches_seen.astype(jnp.int32))
         loss, grads = jax.value_and_grad(loss_fn)(
             params, x, y, y_cov, batches_seen, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
