@@ -80,10 +80,11 @@ def main():
     # and overstates the time by ~30%. 10-step batches amortize the RTT to
     # noise while staying under the wedge threshold.
     steps = 30
+    key = jax.random.PRNGKey(3)  # per-step keys fold in on-device
     t0 = time.time()
     for i in range(steps):
         params, opt_state, loss = step(params, opt_state, x, y, ycov,
-                                       float(i), jax.random.PRNGKey(i))
+                                       float(i), key)
         if i % 10 == 9:
             loss_val = float(loss)
     sec_per_step = (time.time() - t0) / steps

@@ -204,6 +204,12 @@ def main(argv=None):
             args.data_dir, train_cfg.batch_size,
             reshuffle_each_epoch=args.reshuffle_each_epoch)
 
+    mesh = None
+    if args.mesh_data * args.mesh_node > 1:
+        from megacrn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_data, args.mesh_node)
+
     run = RunDir(args.save_dir, args.dataset)
     if args.dataset.startswith("EXPYTKY"):
         final_eval_fn = _make_expytky_final_eval(model_cfg, data)
@@ -211,7 +217,7 @@ def main(argv=None):
         final_eval_fn = _make_concat_final_eval(model_cfg, data)
     result = fit(model_cfg, train_cfg, data, run, resume=args.resume,
                  test_every_epoch=args.test_every_epoch,
-                 final_eval_fn=final_eval_fn)
+                 final_eval_fn=final_eval_fn, mesh=mesh)
     print({k: v for k, v in result["test_metrics"].items()})
     return result
 

@@ -21,6 +21,46 @@ def time_in_day_feature(index: "np.ndarray", num_nodes: int) -> np.ndarray:
                    [1, num_nodes, 1]).transpose((2, 1, 0))
 
 
+def weekday_time_feature(index, num_nodes: int,
+                         interval_minutes: int = 5) -> np.ndarray:
+    """getDayTimestamp parity (model/utils.py:62-70): normalized
+    ``weekday * slots_per_day + slot`` channel (288 slots at 5-min data).
+    Returns (T, N, 1)."""
+    import pandas as pd
+
+    ts = pd.Series(np.asarray(index))
+    slots = 24 * 60 // interval_minutes
+    wdt = (ts.dt.weekday * slots
+           + (ts.dt.hour * 60 + ts.dt.minute) // interval_minutes)
+    wdt = (wdt / wdt.max()).values.astype(np.float32)
+    return np.tile(wdt[:, None, None], (1, num_nodes, 1))
+
+
+def one_hot_time_feature(index, holiday_fn=None) -> np.ndarray:
+    """get_onehottime parity (model_EXPYTKY/utils.py:114-127): one-hot
+    weekday (7) + hour (24) + 10-min interval (6) + is-holiday flag.
+
+    ``holiday_fn(timestamp) -> bool`` plugs in a calendar (the reference uses
+    jpholiday, absent here); default counts only weekends as holidays.
+    Returns (T, 38) float32.
+    """
+    import pandas as pd
+
+    ts = pd.Series(np.asarray(index))
+    t = len(ts)
+    out = np.zeros((t, 7 + 24 + 6 + 1), np.float32)
+    out[np.arange(t), ts.dt.weekday] = 1
+    out[np.arange(t), 7 + ts.dt.hour] = 1
+    out[np.arange(t), 31 + ts.dt.minute // 10] = 1
+    weekend = (ts.dt.weekday >= 5).values
+    if holiday_fn is not None:
+        hol = np.array([bool(holiday_fn(x)) for x in ts]) | weekend
+    else:
+        hol = weekend
+    out[:, -1] = hol.astype(np.float32)
+    return out
+
+
 def day_in_week_feature(index, num_nodes: int) -> np.ndarray:
     """One-hot weekday channels (generate_training_data.py:35-38; off by
     default in the reference)."""

@@ -59,6 +59,9 @@ def make_gts_train_step(cfg: GTSConfig, train_cfg: TrainConfig,
 
     @jax.jit
     def step(params, bn_state, opt_state, x, y, batches_seen, rng):
+        # Per-step key folded in on-device (host split per step serializes
+        # tunnel round trips — see train/loop.py).
+        rng = jax.random.fold_in(rng, batches_seen.astype(jnp.int32))
         (loss, bn_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, bn_state, x, y, batches_seen, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -127,10 +130,10 @@ def fit_gts(cfg: GTSConfig, train_cfg: TrainConfig, data: Dict,
 
     def evaluate(loader):
         ms = []
+        k0 = jax.random.PRNGKey(0)
         for x, y in loader:
             x0, y0 = _prepare(x, y, cfg)
-            ms.append(eval_step(params, bn_state, x0, y0,
-                                jax.random.PRNGKey(0)))
+            ms.append(jax.device_get(eval_step(params, bn_state, x0, y0, k0)))
         return summarize_eval(ms, cfg.horizon)
 
     batches_seen, min_val, wait = 0, float("inf"), 0
@@ -138,13 +141,16 @@ def fit_gts(cfg: GTSConfig, train_cfg: TrainConfig, data: Dict,
     for epoch in range(epochs):
         t0 = time.time()
         tl = []
+        key, k_epoch = jax.random.split(key)
         for x, y in data["train_loader"]:
             x0, y0 = _prepare(x, y, cfg)
-            key, k = jax.random.split(key)
             params, bn_state, opt_state, loss = train_step(
-                params, bn_state, opt_state, x0, y0, float(batches_seen), k)
+                params, bn_state, opt_state, x0, y0,
+                jnp.float32(batches_seen), k_epoch)
             tl.append(loss)
             batches_seen += 1
+            if batches_seen % 10 == 0:
+                float(loss)  # bound the tunnel dispatch queue
         val = evaluate(data["val_loader"])
         msg = (f"Epoch [{epoch + 1}/{epochs}] ({batches_seen}) "
                f"train_loss: {float(np.mean([float(l) for l in tl])):.4f}, "

@@ -65,11 +65,14 @@ def fit(
     resume: bool = False,
     max_epochs: Optional[int] = None,
     final_eval_fn=None,
+    mesh=None,
 ) -> Dict:
     """Train MegaCRN with the reference protocol.
 
     ``data`` keys: train_loader / val_loader / test_loader (BatchLoader),
     scaler_mean, scaler_std (scalars or broadcastable arrays).
+    ``mesh``: optional jax.sharding.Mesh — trains data-parallel +
+    node-partitioned over it (megacrn_tpu.parallel).
     Returns {params, best_val, test_metrics, epochs_run}.
     """
     logger = run.get_logger()
@@ -88,7 +91,19 @@ def fit(
     opt_state = optimizer.init(params)
 
     mean, std = data.get("scaler_mean", 0.0), data.get("scaler_std", 1.0)
-    train_step = make_train_step(model_cfg, train_cfg, optimizer, mean, std)
+    if mesh is not None:
+        from megacrn_tpu.parallel.api import make_sharded_train_step
+        from megacrn_tpu.parallel.mesh import shard_batch, shard_params
+
+        params = shard_params(params, mesh)
+        opt_state = optimizer.init(params)
+        train_step = make_sharded_train_step(
+            model_cfg, train_cfg, optimizer, mesh, mean, std, donate=False)
+        place_batch = lambda arrays: shard_batch(arrays, mesh)
+    else:
+        train_step = make_train_step(model_cfg, train_cfg, optimizer,
+                                     mean, std)
+        place_batch = lambda arrays: arrays
     eval_raw = make_eval_step(model_cfg, train_cfg, mean, std)
 
     def eval_step(x0, y0, y_cov):
@@ -118,8 +133,8 @@ def fit(
         key, k_epoch = jax.random.split(key)  # one host RNG op per EPOCH;
         # per-step keys are folded in on-device inside train_step
         for x, y in data["train_loader"]:
-            x0, y0, y_cov = prepare_x_y(x, y, model_cfg.input_dim,
-                                        model_cfg.output_dim)
+            x0, y0, y_cov = place_batch(prepare_x_y(
+                x, y, model_cfg.input_dim, model_cfg.output_dim))
             params, opt_state, loss = train_step(
                 params, opt_state, x0, y0, y_cov,
                 jnp.float32(batches_seen), k_epoch)

@@ -117,3 +117,30 @@ def test_expytky_scaling_modes():
     np.testing.assert_allclose(
         sc_leak.inverse_transform(tr_leak[0][..., 0]), train[0][..., 0],
         rtol=1e-5)
+
+
+def test_weekday_time_feature_normalized():
+    from megacrn_tpu.data.windowing import weekday_time_feature
+
+    index = (np.datetime64("2012-03-05") +
+             np.arange(2016) * np.timedelta64(5, "m"))  # one full week
+    f = weekday_time_feature(index, num_nodes=3, interval_minutes=5)
+    assert f.shape == (2016, 3, 1)
+    np.testing.assert_allclose(f.max(), 1.0, rtol=1e-6)
+    assert f.min() == 0.0  # Monday 00:00 slot
+
+
+def test_one_hot_time_feature_layout():
+    from megacrn_tpu.data.windowing import one_hot_time_feature
+
+    index = (np.datetime64("2021-10-01T00:00") +
+             np.arange(144) * np.timedelta64(10, "m"))
+    f = one_hot_time_feature(index)
+    assert f.shape == (144, 38)
+    np.testing.assert_array_equal(f[:, :7].sum(1), 1)  # weekday one-hot
+    np.testing.assert_array_equal(f[:, 7:31].sum(1), 1)  # hour one-hot
+    np.testing.assert_array_equal(f[:, 31:37].sum(1), 1)  # interval one-hot
+    # 2021-10-01 is a Friday: not a weekend holiday by default.
+    assert f[0, -1] == 0.0
+    f2 = one_hot_time_feature(index, holiday_fn=lambda ts: True)
+    assert np.all(f2[:, -1] == 1.0)

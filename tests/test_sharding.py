@@ -134,3 +134,24 @@ def test_ring_aggregate_grads_flow():
     np.testing.assert_allclose(np.asarray(gx), np.asarray(want_gx),
                                atol=1e-4, rtol=1e-4)
     assert np.all(np.isfinite(np.asarray(gs)))
+
+
+def test_fit_with_mesh_end_to_end(tmp_path):
+    """Full harness training over the virtual mesh."""
+    from megacrn_tpu.config import MegaCRNConfig, TrainConfig
+    from megacrn_tpu.data.datasets import build_synthetic
+    from megacrn_tpu.parallel.mesh import make_mesh
+    from megacrn_tpu.train.logs import RunDir
+    from megacrn_tpu.train.loop import fit
+
+    mesh = make_mesh(2, 4)
+    model_cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                              horizon=3, seq_len=3)
+    train_cfg = TrainConfig(batch_size=16, epochs=2, patience=5, seed=0,
+                            lr_milestones=(100,))
+    data = build_synthetic(num_nodes=16, num_steps=400, seq_len=3, horizon=3,
+                           batch_size=16)
+    run = RunDir(str(tmp_path), "SYNTH", snapshot_sources=False)
+    result = fit(model_cfg, train_cfg, data, run, test_every_epoch=False,
+                 mesh=mesh)
+    assert np.isfinite(result["best_val"]) and result["epochs_run"] == 2
