@@ -77,17 +77,23 @@ def main():
 
     # Sync every 10 steps: deep unsynced queues wedge the axon tunnel, but a
     # per-step sync adds the full ~25-100 ms tunnel round-trip to every step
-    # and overstates the time by ~30%. 10-step batches amortize the RTT to
-    # noise while staying under the wedge threshold.
+    # and overstates the time by ~30%. 10-step blocks amortize the RTT; the
+    # MEDIAN block defends against the tunnel's intermittent ~180 s
+    # stall-and-recover episodes polluting the measurement.
     steps = 30
     key = jax.random.PRNGKey(3)  # per-step keys fold in on-device
-    t0 = time.time()
-    for i in range(steps):
-        params, opt_state, loss = step(params, opt_state, x, y, ycov,
-                                       float(i), key)
-        if i % 10 == 9:
-            loss_val = float(loss)
-    sec_per_step = (time.time() - t0) / steps
+    block_times = []
+    i = 0
+    for _ in range(steps // 10):
+        t0 = time.time()
+        for _ in range(10):
+            params, opt_state, loss = step(params, opt_state, x, y, ycov,
+                                           float(i), key)
+            i += 1
+        loss_val = float(loss)
+        block_times.append((time.time() - t0) / 10)
+    block_times.sort()
+    sec_per_step = block_times[len(block_times) // 2]
 
     nnz = 2 * n * n
     apps_per_support_stack = cfg.cheb_k - 1  # A-applications per support
