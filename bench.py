@@ -30,7 +30,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 
 
 def main():

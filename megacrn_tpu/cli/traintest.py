@@ -12,7 +12,6 @@ presets hard-set num_nodes exactly as the reference does (:190-195).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 from megacrn_tpu.config import (DATASETS, model_config_for, train_config_for)
 

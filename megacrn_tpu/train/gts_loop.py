@@ -9,7 +9,6 @@ parity (:119-123).
 """
 from __future__ import annotations
 
-import functools
 import time
 from typing import Dict
 
@@ -19,7 +18,6 @@ import numpy as np
 import optax
 
 from megacrn_tpu.config import GTSConfig, TrainConfig
-from megacrn_tpu.data.loader import BatchLoader
 from megacrn_tpu.models import gts
 from megacrn_tpu.ops import losses
 from megacrn_tpu.train import checkpoint as ckpt

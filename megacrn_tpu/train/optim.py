@@ -10,8 +10,6 @@ steps_per_epoch.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import optax
 
 from megacrn_tpu.config import TrainConfig

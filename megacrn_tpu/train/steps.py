@@ -12,8 +12,7 @@ entire evaluation pass is B jitted calls + one host mean.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
