@@ -69,3 +69,55 @@ def params_from_torch_checkpoint(path: str, num_layers: int) -> Dict:
 
     sd = torch.load(path, map_location="cpu")
     return params_from_flat(flat_from_torch_state_dict(sd, num_layers), num_layers)
+
+
+def gts_params_from_torch_state_dict(sd: Mapping, cfg) -> Dict:
+    """Convert a reference GTS ``state_dict`` (model/GTS.py module names,
+    incl. the LayerParams shape-keyed weight names) into the megacrn-tpu GTS
+    params + bn_state pytrees. ``cfg`` is a ``megacrn_tpu.config.GTSConfig``.
+
+    Returns (params, bn_state).
+    """
+
+    def npy(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    def arr(k):
+        return jnp.asarray(npy(sd[k]), jnp.float32)
+
+    units = cfg.rnn_units
+    k1 = cfg.max_diffusion_step + 1
+
+    def cells(mod, tag_in):
+        out = []
+        for i in range(cfg.num_layers):
+            layer_in = tag_in if i == 0 else units
+            gshape = ((layer_in + units) * k1, 2 * units)
+            cshape = ((layer_in + units) * k1, units)
+            p = f"{mod}.dcgru_layers.{i}"
+            out.append({
+                "gate": {"W": arr(f"{p}.gconv_weight_{gshape}"),
+                         "b": arr(f"{p}.gconv_biases_{2 * units}")},
+                "candidate": {"W": arr(f"{p}.gconv_weight_{cshape}"),
+                              "b": arr(f"{p}.gconv_biases_{units}")},
+            })
+        return out
+
+    params = {
+        "conv1": {"W": arr("conv1.weight"), "b": arr("conv1.bias")},
+        "conv2": {"W": arr("conv2.weight"), "b": arr("conv2.bias")},
+        "fc": {"W": arr("fc.weight").T, "b": arr("fc.bias")},
+        "fc_out": {"W": arr("fc_out.weight").T, "b": arr("fc_out.bias")},
+        "fc_cat": {"W": arr("fc_cat.weight").T, "b": arr("fc_cat.bias")},
+        "bn1": {"scale": arr("bn1.weight"), "bias": arr("bn1.bias")},
+        "bn2": {"scale": arr("bn2.weight"), "bias": arr("bn2.bias")},
+        "bn3": {"scale": arr("bn3.weight"), "bias": arr("bn3.bias")},
+        "encoder": cells("encoder_model", cfg.input_dim),
+        "decoder": cells("decoder_model", cfg.output_dim),
+        "proj": {"W": arr("decoder_model.projection_layer.weight").T,
+                 "b": arr("decoder_model.projection_layer.bias")},
+    }
+    bn_state = {f"bn{i}": {"mean": arr(f"bn{i}.running_mean"),
+                           "var": arr(f"bn{i}.running_var")}
+                for i in (1, 2, 3)}
+    return params, bn_state

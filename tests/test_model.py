@@ -109,3 +109,14 @@ def test_bfloat16_compute_mode_runs_and_is_close():
     assert out16.output.dtype == jnp.float32  # outputs upcast
     np.testing.assert_allclose(np.asarray(out16.output),
                                np.asarray(out32.output), atol=0.15)
+
+
+def test_curriculum_teacher_forcing_rate_matches_threshold():
+    """Distributional parity (SURVEY 7.4): the per-step Bernoulli rate of
+    teacher forcing must track the inverse-sigmoid threshold."""
+    thr = float(megacrn.compute_sampling_threshold(2000, jnp.asarray(1500.0)))
+    horizon = 2000
+    key = jax.random.PRNGKey(0)
+    coins = jax.random.uniform(key, (horizon,))
+    rate = float(jnp.mean(coins < thr))
+    assert abs(rate - thr) < 0.03  # ~3 sigma at n=2000
