@@ -67,6 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
     # mesh
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_node", type=int, default=1)
+    p.add_argument("--ckpt_backend", type=str, default="npz",
+                   choices=["npz", "orbax"])
     return p
 
 
@@ -216,7 +218,8 @@ def main(argv=None):
         final_eval_fn = _make_concat_final_eval(model_cfg, data)
     result = fit(model_cfg, train_cfg, data, run, resume=args.resume,
                  test_every_epoch=args.test_every_epoch,
-                 final_eval_fn=final_eval_fn, mesh=mesh)
+                 final_eval_fn=final_eval_fn, mesh=mesh,
+                 ckpt_backend=args.ckpt_backend)
     print({k: v for k, v in result["test_metrics"].items()})
     return result
 

@@ -4,8 +4,16 @@ The reference only ``torch.save``s the best-val ``state_dict``
 (``model/traintest_MegaCRN.py:144``) — no optimizer state, no RNG, no
 mid-run resume. Here a checkpoint carries the full restartable training
 state: {params, opt_state, batches_seen, epoch, best_val, rng key, scaler
-stats}, written atomically as a flat npz keyed by pytree paths, so a killed
-run resumes exactly (SURVEY.md section 5 "checkpoint/resume").
+stats}, so a killed run resumes exactly (SURVEY.md section 5
+"checkpoint/resume").
+
+Two storage backends:
+
+* ``npz`` (default): atomic single-file write keyed by pytree paths —
+  dependency-free, diffable, right for single-host runs.
+* ``orbax``: directory-format Orbax checkpoint. On a multi-host mesh each
+  process writes only its addressable shards and restore honors the sharding
+  of the templates — the production choice for sharded params/opt state.
 """
 from __future__ import annotations
 
@@ -63,6 +71,8 @@ def load_checkpoint(path: str, params_template, opt_state_template=None
                     ) -> Tuple[Any, Any, Dict]:
     """Restore (params, opt_state, metadata); opt_state is None when no
     template is given or the checkpoint has no optimizer state."""
+    if os.path.isdir(path):  # orbax checkpoints are directories
+        return load_checkpoint_orbax(path, params_template, opt_state_template)
     with np.load(path) as z:
         blob = dict(z)
     meta = json.loads(bytes(blob.pop("meta/json").tobytes()).decode())
@@ -76,3 +86,46 @@ def load_checkpoint(path: str, params_template, opt_state_template=None
         if oflat:
             opt_state = _unflatten_like(opt_state_template, oflat)
     return params, opt_state, meta
+
+
+def save_checkpoint_orbax(path: str, params, opt_state=None, *,
+                          metadata: Optional[Dict[str, Any]] = None):
+    """Orbax directory checkpoint of the same training state.
+
+    Sharded arrays are written distributed (each host saves its addressable
+    shards); overwriting an existing checkpoint is allowed to keep the
+    best-val overwrite-in-place semantics of the reference
+    (model/traintest_MegaCRN.py:144).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    state = {"params": params}
+    if opt_state is not None:
+        state["opt"] = opt_state
+    with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
+        ckptr.save(path, args=ocp.args.Composite(
+            state=ocp.args.StandardSave(state),
+            meta=ocp.args.JsonSave(metadata or {}),
+        ), force=True)
+
+
+def load_checkpoint_orbax(path: str, params_template, opt_state_template=None
+                          ) -> Tuple[Any, Any, Dict]:
+    """Restore from an Orbax directory checkpoint. Templates fix pytree
+    structure, dtypes, and shardings (pass mesh-placed templates to restore
+    sharded on a multi-host mesh)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    template = {"params": params_template}
+    if opt_state_template is not None:
+        template["opt"] = opt_state_template
+    with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
+        restored = ckptr.restore(path, args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(template),
+            meta=ocp.args.JsonRestore(),
+        ))
+    params = restored["state"]["params"]
+    opt_state = restored["state"].get("opt")
+    return params, opt_state, dict(restored["meta"] or {})

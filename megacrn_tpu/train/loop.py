@@ -66,6 +66,7 @@ def fit(
     max_epochs: Optional[int] = None,
     final_eval_fn=None,
     mesh=None,
+    ckpt_backend: str = "npz",
 ) -> Dict:
     """Train MegaCRN with the reference protocol.
 
@@ -73,8 +74,14 @@ def fit(
     scaler_mean, scaler_std (scalars or broadcastable arrays).
     ``mesh``: optional jax.sharding.Mesh — trains data-parallel +
     node-partitioned over it (megacrn_tpu.parallel).
+    ``ckpt_backend``: 'npz' (single-file atomic) or 'orbax' (directory
+    format, distributed shard writes on multi-host meshes).
     Returns {params, best_val, test_metrics, epochs_run}.
     """
+    if ckpt_backend not in ("npz", "orbax"):
+        raise ValueError(f"unknown ckpt_backend {ckpt_backend!r}")
+    save_ckpt = (ckpt.save_checkpoint if ckpt_backend == "npz"
+                 else ckpt.save_checkpoint_orbax)
     logger = run.get_logger()
     echo_hparams(logger, model=model_cfg, train=train_cfg)
 
@@ -167,7 +174,7 @@ def fit(
         if val["loss"] < min_val_loss:
             wait = 0
             min_val_loss = val["loss"]
-            ckpt.save_checkpoint(
+            save_ckpt(
                 run.checkpoint_path, params, opt_state,
                 metadata={"epoch": epoch, "batches_seen": batches_seen,
                           "best_val": min_val_loss, "rng_seed": seed + epoch,

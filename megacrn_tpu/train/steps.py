@@ -44,15 +44,19 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     scaler_mean: float = 0.0,
     scaler_std: float = 1.0,
+    road_supports=None,
 ) -> Callable:
     """Returns jitted ``(params, opt_state, x, y, y_cov, batches_seen, rng)
     -> (params, opt_state, loss)``. ``batches_seen`` is a traced float driving
-    the curriculum threshold, so step count does not trigger recompiles."""
+    the curriculum threshold, so step count does not trigger recompiles.
+    ``road_supports`` feeds the sparse graph backends (BlockELL packs or a
+    BlockPattern, per ``model_cfg.graph_backend``); it is closed over as a
+    trace-time constant."""
 
     def loss_fn(params, x, y, y_cov, batches_seen, rng):
         out = megacrn.forward(params, x, y_cov, model_cfg, labels=y,
                               batches_seen=batches_seen, rng=rng,
-                              training=True)
+                              training=True, road_supports=road_supports)
         return composite_loss(out, y, train_cfg, scaler_mean, scaler_std)
 
     @jax.jit
@@ -82,6 +86,7 @@ def make_eval_step(
     scaler_mean: float = 0.0,
     scaler_std: float = 1.0,
     return_predictions: bool = False,
+    road_supports=None,
 ) -> Callable:
     """Returns jitted ``(params, x, y, y_cov) -> metrics dict`` computing the
     per-batch masked metrics of the reference eval loop
@@ -90,7 +95,8 @@ def make_eval_step(
 
     @jax.jit
     def eval_step(params, x, y, y_cov):
-        out = megacrn.forward(params, x, y_cov, model_cfg, training=False)
+        out = megacrn.forward(params, x, y_cov, model_cfg, training=False,
+                              road_supports=road_supports)
         y_pred = out.output * scaler_std + scaler_mean
         y_true = y * scaler_std + scaler_mean
         loss = composite_loss(out, y, train_cfg, scaler_mean, scaler_std)
