@@ -1,25 +1,48 @@
 """Sharded training/eval steps over a device mesh.
 
-Same math as ``megacrn_tpu.train.steps``; the jitted step picks up GSPMD
-shardings from its committed inputs (place params with ``shard_params``,
-batches with ``shard_batch``; ``optimizer.init`` on sharded params yields
-matching-sharded moments) and pins the internal node-partitioned layout with
-``with_sharding_constraint`` hooks so XLA inserts the boundary all-gathers
-over the ``node`` axis and psums gradients over ``data``. Multi-host entry is
-``jax.distributed.initialize`` by the caller; everything here only assumes a
-``Mesh``.
+Same math as ``megacrn_tpu.train.steps``; two partitioning styles:
+
+* **GSPMD** (``make_sharded_train_step``): the jitted step picks up shardings
+  from its committed inputs (place params with ``shard_params``, batches with
+  ``shard_batch``) and pins the internal node-partitioned layout with
+  ``with_sharding_constraint`` hooks so XLA inserts the boundary all-gathers
+  over the ``node`` axis and psums gradients over ``data``. Covers the dense
+  backend and the XLA-program ``sparse_meta`` backend (its gathers + batched
+  tile einsums are GSPMD-partitionable).
+* **shard_map** (``make_shardmap_train_step``): explicit data-parallel step —
+  each device runs the WHOLE forward/backward on its batch shard and grads
+  are ``pmean``'d over ``data``. This is the multi-chip path for graph
+  backends built on Pallas custom calls (``road_sparse``): GSPMD cannot
+  partition through a custom call, but under shard_map the kernel simply runs
+  per-device on local data. Params/supports are replicated (the sparse road
+  pack at nnz ~ 4N is small; batch is the scaling axis for DP).
+
+Multi-host entry is ``jax.distributed.initialize`` by the caller; everything
+here only assumes a ``Mesh``. The reference has no distributed code at all
+(SURVEY.md section 2.5) — this layer is green-field TPU design.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map  # noqa: F401
 
 from megacrn_tpu.config import MegaCRNConfig, TrainConfig
 from megacrn_tpu.models import megacrn
-from megacrn_tpu.parallel.mesh import make_shard_fn
+from megacrn_tpu.parallel.mesh import DATA_AXIS, make_shard_fn
 from megacrn_tpu.train.steps import composite_loss
 
 
@@ -31,17 +54,26 @@ def make_sharded_train_step(
     scaler_mean: float = 0.0,
     scaler_std: float = 1.0,
     donate: bool = True,
+    road_supports=None,
 ) -> Callable:
     """Jitted ``(params, opt_state, x, y, y_cov, batches_seen, rng) ->
     (params, opt_state, loss)``. Inputs must be placed on the mesh
     (``shard_params`` / ``shard_batch``); params and opt_state buffers are
-    donated so the update is in-place in HBM."""
+    donated so the update is in-place in HBM. ``road_supports`` feeds the
+    ``sparse_meta`` backend (a BlockPattern, closed over as a constant);
+    for the Pallas ``road_sparse`` backend use ``make_shardmap_train_step``.
+    """
+    if model_cfg.graph_backend == "road_sparse":
+        raise ValueError(
+            "graph_backend='road_sparse' is a Pallas custom call that GSPMD "
+            "cannot partition; use make_shardmap_train_step for meshes")
     shard_fn = make_shard_fn(mesh)
 
     def loss_fn(params, x, y, y_cov, batches_seen, rng):
         out = megacrn.forward(params, x, y_cov, model_cfg, labels=y,
                               batches_seen=batches_seen, rng=rng,
-                              training=True, shard_fn=shard_fn)
+                              training=True, shard_fn=shard_fn,
+                              road_supports=road_supports)
         return composite_loss(out, y, train_cfg, scaler_mean, scaler_std)
 
     def step(params, opt_state, x, y, y_cov, batches_seen, rng):
@@ -55,11 +87,84 @@ def make_sharded_train_step(
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_sharded_eval_forward(model_cfg: MegaCRNConfig, mesh: Mesh) -> Callable:
+def make_sharded_eval_forward(model_cfg: MegaCRNConfig, mesh: Mesh,
+                              road_supports=None) -> Callable:
+    if model_cfg.graph_backend == "road_sparse":
+        raise ValueError(
+            "use make_shardmap_eval_forward for the road_sparse backend")
     shard_fn = make_shard_fn(mesh)
 
     @jax.jit
     def fwd(params, x, y_cov):
-        return megacrn.forward(params, x, y_cov, model_cfg, shard_fn=shard_fn)
+        return megacrn.forward(params, x, y_cov, model_cfg,
+                               shard_fn=shard_fn,
+                               road_supports=road_supports)
 
     return fwd
+
+
+def make_shardmap_train_step(
+    model_cfg: MegaCRNConfig,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    scaler_mean: float = 0.0,
+    scaler_std: float = 1.0,
+    donate: bool = True,
+    road_supports=None,
+) -> Callable:
+    """Explicit data-parallel train step (shard_map over the ``data`` axis).
+
+    Works with EVERY graph backend including the Pallas ``road_sparse``
+    kernel: the custom call executes per-device on the local batch shard,
+    so no partitioning of the kernel itself is needed. Gradients and the
+    loss are ``pmean``'d over ``data``; the optimizer update runs
+    replicated (identical on every device, since the pmean'd grads are).
+
+    The curriculum RNG is replicated, so every shard draws the SAME
+    per-horizon-step coins — matching single-device semantics exactly
+    (the reference flips one host coin per decoder step for the whole
+    batch, model/MegaCRN.py:188-191).
+    """
+
+    def loss_fn(params, x, y, y_cov, batches_seen, rng):
+        out = megacrn.forward(params, x, y_cov, model_cfg, labels=y,
+                              batches_seen=batches_seen, rng=rng,
+                              training=True, road_supports=road_supports)
+        return composite_loss(out, y, train_cfg, scaler_mean, scaler_std)
+
+    rep = P()
+    bspec = P(DATA_AXIS)  # leading batch axis; rest replicated
+
+    def step(params, opt_state, x, y, y_cov, batches_seen, rng):
+        rng = jax.random.fold_in(rng, batches_seen.astype(jnp.int32))
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, x, y, y_cov, batches_seen, rng)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    mapped = shard_map(step, mesh=mesh,
+                       in_specs=(rep, rep, bspec, bspec, bspec, rep, rep),
+                       out_specs=(rep, rep, rep), check_rep=False)
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(mapped, donate_argnums=donate_argnums)
+
+
+def make_shardmap_eval_forward(model_cfg: MegaCRNConfig, mesh: Mesh,
+                               road_supports=None) -> Callable:
+    """Data-parallel eval forward via shard_map (any backend incl. Pallas)."""
+
+    def fwd(params, x, y_cov):
+        return megacrn.forward(params, x, y_cov, model_cfg,
+                               road_supports=road_supports)
+
+    rep = P()
+    bspec = P(DATA_AXIS)
+    mapped = shard_map(
+        fwd, mesh=mesh, in_specs=(rep, bspec, bspec),
+        out_specs=megacrn.MegaCRNOutput(bspec, bspec, bspec, bspec, bspec),
+        check_rep=False)
+    return jax.jit(mapped)

@@ -54,7 +54,7 @@ def make_ring_aggregate(mesh: Mesh, node_axis: str = "node",
     """Returns a jitted ``(support (N, N), x (B, N, C)) -> (B, N, C)`` that
     runs the ring schedule over the mesh's node axis (batch stays sharded
     over the data axis)."""
-    from jax.experimental.shard_map import shard_map
+    from megacrn_tpu.parallel.api import shard_map
 
     fn = shard_map(
         functools.partial(ring_support_matmul, axis_name=node_axis),

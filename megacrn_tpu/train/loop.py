@@ -67,6 +67,7 @@ def fit(
     final_eval_fn=None,
     mesh=None,
     ckpt_backend: str = "npz",
+    road_supports=None,
 ) -> Dict:
     """Train MegaCRN with the reference protocol.
 
@@ -76,6 +77,11 @@ def fit(
     node-partitioned over it (megacrn_tpu.parallel).
     ``ckpt_backend``: 'npz' (single-file atomic) or 'orbax' (directory
     format, distributed shard writes on multi-host meshes).
+    ``road_supports``: sparse-backend graph constant (BlockELL packs for
+    graph_backend='road_sparse', BlockPattern for 'sparse_meta'); on a mesh
+    the Pallas road_sparse backend trains through the explicit shard_map
+    data-parallel step (GSPMD cannot partition a custom call), the other
+    backends through the GSPMD step.
     Returns {params, best_val, test_metrics, epochs_run}.
     """
     if ckpt_backend not in ("npz", "orbax"):
@@ -99,19 +105,33 @@ def fit(
 
     mean, std = data.get("scaler_mean", 0.0), data.get("scaler_std", 1.0)
     if mesh is not None:
-        from megacrn_tpu.parallel.api import make_sharded_train_step
+        from megacrn_tpu.parallel.api import (make_sharded_train_step,
+                                              make_shardmap_train_step)
         from megacrn_tpu.parallel.mesh import shard_batch, shard_params
 
-        params = shard_params(params, mesh)
-        opt_state = optimizer.init(params)
-        train_step = make_sharded_train_step(
-            model_cfg, train_cfg, optimizer, mesh, mean, std, donate=False)
-        place_batch = lambda arrays: shard_batch(arrays, mesh)
+        if model_cfg.graph_backend == "road_sparse":
+            # Pallas custom call: explicit DP shard_map, replicated params.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            train_step = make_shardmap_train_step(
+                model_cfg, train_cfg, optimizer, mesh, mean, std,
+                donate=False, road_supports=road_supports)
+            dp = NamedSharding(mesh, P("data"))
+            place_batch = lambda arrays: jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, dp), arrays)
+        else:
+            params = shard_params(params, mesh)
+            opt_state = optimizer.init(params)
+            train_step = make_sharded_train_step(
+                model_cfg, train_cfg, optimizer, mesh, mean, std,
+                donate=False, road_supports=road_supports)
+            place_batch = lambda arrays: shard_batch(arrays, mesh)
     else:
         train_step = make_train_step(model_cfg, train_cfg, optimizer,
-                                     mean, std)
+                                     mean, std, road_supports=road_supports)
         place_batch = lambda arrays: arrays
-    eval_raw = make_eval_step(model_cfg, train_cfg, mean, std)
+    eval_raw = make_eval_step(model_cfg, train_cfg, mean, std,
+                              road_supports=road_supports)
 
     def eval_step(x0, y0, y_cov):
         return eval_raw(params, x0, y0, y_cov)

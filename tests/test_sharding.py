@@ -155,3 +155,115 @@ def test_fit_with_mesh_end_to_end(tmp_path):
     result = fit(model_cfg, train_cfg, data, run, test_every_epoch=False,
                  mesh=mesh)
     assert np.isfinite(result["best_val"]) and result["epochs_run"] == 2
+
+
+def test_shardmap_train_step_road_sparse_matches_single_device():
+    """The Pallas road_sparse backend on a mesh: explicit shard_map DP must
+    reproduce the single-device update exactly (equal shards -> pmean of
+    per-shard means == global mean; replicated RNG -> identical coins)."""
+    from megacrn_tpu.data.synthetic import synthetic_road_adjacency
+    from megacrn_tpu.kernels.spmm import to_block_ell, transpose_block_ell
+    from megacrn_tpu.ops.graph import dual_random_walk_supports
+    from megacrn_tpu.parallel.api import make_shardmap_train_step
+
+    cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=4, seq_len=4, graph_backend="road_sparse")
+    adj = synthetic_road_adjacency(16, avg_degree=4, seed=11)
+    s1, s2 = dual_random_walk_supports(adj)
+    packs = [(to_block_ell(s1), transpose_block_ell(s1)),
+             (to_block_ell(s2), transpose_block_ell(s2))]
+
+    params = megacrn.init_params(jax.random.PRNGKey(7), cfg)
+    opt = make_optimizer(TCFG, steps_per_epoch=10)
+    opt_state = opt.init(params)
+    x, y, ycov = _batch()
+    rng = jax.random.PRNGKey(8)
+
+    base_step = make_train_step(cfg, TCFG, opt, road_supports=packs)
+    p1, o1, loss1 = base_step(params, opt_state, x, y, ycov, 3.0, rng)
+
+    mesh = make_mesh(2, 4)
+    step = make_shardmap_train_step(cfg, TCFG, opt, mesh, donate=False,
+                                    road_supports=packs)
+    p2, o2, loss2 = step(params, opt.init(params), x, y, ycov, 3.0, rng)
+
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_sharded_train_step_sparse_meta_matches_single_device():
+    """The XLA block-sparse learned meta-graph backend under GSPMD: the
+    gathers + tile einsums partition over the mesh and match 1-device math."""
+    from megacrn_tpu.kernels.sparse_graph import build_block_pattern
+
+    cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=4, seq_len=4, graph_backend="sparse_meta")
+    rs = np.random.RandomState(0)
+    adj = (rs.rand(16, 16) < 0.4).astype(np.float32)
+    np.fill_diagonal(adj, 1)
+    pattern = build_block_pattern(adj)
+
+    params = megacrn.init_params(jax.random.PRNGKey(9), cfg)
+    opt = make_optimizer(TCFG, steps_per_epoch=10)
+    x, y, ycov = _batch()
+    rng = jax.random.PRNGKey(10)
+
+    base_step = make_train_step(cfg, TCFG, opt, road_supports=pattern)
+    p1, o1, loss1 = base_step(params, opt.init(params), x, y, ycov, 1e9, rng)
+
+    mesh = make_mesh(2, 4)
+    sp = shard_params(params, mesh)
+    so = opt.init(sp)
+    sx, sy, sycov = shard_batch((x, y, ycov), mesh)
+    step = make_sharded_train_step(cfg, TCFG, opt, mesh, donate=False,
+                                   road_supports=pattern)
+    p2, o2, loss2 = step(sp, so, sx, sy, sycov, 1e9, rng)
+
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_sharded_api_rejects_road_sparse_gspmd():
+    mesh = make_mesh(2, 4)
+    cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                        graph_backend="road_sparse")
+    opt = make_optimizer(TCFG, steps_per_epoch=10)
+    try:
+        make_sharded_train_step(cfg, TCFG, opt, mesh)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_fit_with_mesh_road_sparse_end_to_end(tmp_path):
+    """Full harness training of the Pallas sparse backend over the mesh."""
+    from megacrn_tpu.data.datasets import build_synthetic
+    from megacrn_tpu.data.synthetic import synthetic_road_adjacency
+    from megacrn_tpu.kernels.spmm import to_block_ell, transpose_block_ell
+    from megacrn_tpu.ops.graph import dual_random_walk_supports
+    from megacrn_tpu.train.logs import RunDir
+    from megacrn_tpu.train.loop import fit
+
+    n = 16
+    adj = synthetic_road_adjacency(n, avg_degree=4, seed=3)
+    s1, s2 = dual_random_walk_supports(adj)
+    packs = [(to_block_ell(s1), transpose_block_ell(s1)),
+             (to_block_ell(s2), transpose_block_ell(s2))]
+    mesh = make_mesh(2, 4)
+    model_cfg = MegaCRNConfig(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8,
+                              horizon=3, seq_len=3,
+                              graph_backend="road_sparse")
+    train_cfg = TrainConfig(batch_size=16, epochs=1, patience=5, seed=0,
+                            lr_milestones=(100,))
+    data = build_synthetic(num_nodes=n, num_steps=200, seq_len=3, horizon=3,
+                           batch_size=16)
+    run = RunDir(str(tmp_path), "SYNTH", snapshot_sources=False)
+    result = fit(model_cfg, train_cfg, data, run, test_every_epoch=False,
+                 mesh=mesh, road_supports=packs)
+    assert np.isfinite(result["best_val"]) and result["epochs_run"] == 1
