@@ -33,6 +33,21 @@ def masked_mae_loss(y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(_NAN_FIX(loss))
 
 
+def masked_mae_sums(y_pred: jnp.ndarray, y_true: jnp.ndarray):
+    """Distributive decomposition of ``masked_mae_loss``: returns
+    ``(sum(nanfix(|err| * mask)), sum(mask))`` with the binary (y != 0) mask.
+
+    ``masked_mae_loss == num / den`` whenever ``den > 0`` and 0 otherwise
+    (mask-count normalisation cancels the element count), so batch shards can
+    each compute local sums, ``psum`` both over the data axis, and divide once
+    — the global masked mean, exact even when mask density differs across
+    shards (unlike a pmean of per-shard masked means).
+    """
+    mask = (y_true != 0).astype(jnp.float32)
+    num = jnp.sum(_NAN_FIX(jnp.abs(y_pred - y_true) * mask))
+    return num, jnp.sum(mask)
+
+
 def masked_mape_loss(y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
     """model/utils.py:135-142. Div-by-zero -> inf * 0 mask -> NaN -> 0."""
     loss = jnp.abs((y_true - y_pred) / y_true) * _dcrnn_mask(y_true)

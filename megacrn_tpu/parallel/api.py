@@ -23,7 +23,6 @@ here only assumes a ``Mesh``. The reference has no distributed code at all
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
@@ -42,6 +41,7 @@ except ImportError:  # pragma: no cover - older jax
 
 from megacrn_tpu.config import MegaCRNConfig, TrainConfig
 from megacrn_tpu.models import megacrn
+from megacrn_tpu.ops import losses
 from megacrn_tpu.parallel.mesh import DATA_AXIS, make_shard_fn
 from megacrn_tpu.train.steps import composite_loss
 
@@ -77,6 +77,11 @@ def make_sharded_train_step(
         return composite_loss(out, y, train_cfg, scaler_mean, scaler_std)
 
     def step(params, opt_state, x, y, y_cov, batches_seen, rng):
+        # Same per-step key derivation as the single-device and shard_map
+        # steps: fold the step counter in on-device so every batch in an
+        # epoch draws fresh scheduled-sampling coins (the reference flips a
+        # new host coin per decoder step, model/MegaCRN.py:188-191).
+        rng = jax.random.fold_in(rng, batches_seen.astype(jnp.int32))
         loss, grads = jax.value_and_grad(loss_fn)(
             params, x, y, y_cov, batches_seen, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -117,9 +122,15 @@ def make_shardmap_train_step(
 
     Works with EVERY graph backend including the Pallas ``road_sparse``
     kernel: the custom call executes per-device on the local batch shard,
-    so no partitioning of the kernel itself is needed. Gradients and the
-    loss are ``pmean``'d over ``data``; the optimizer update runs
-    replicated (identical on every device, since the pmean'd grads are).
+    so no partitioning of the kernel itself is needed.
+
+    The masked-MAE objective normalises by the GLOBAL mask mean: each shard
+    computes local (masked-error-sum, mask-count) pairs, both are ``psum``'d
+    over ``data``, and the division happens once — exact single-device
+    semantics even when zero-masked targets are distributed unevenly across
+    batch shards (a pmean of per-shard masked means would not be). The loss
+    therefore already contains collectives; gradients come back as per-shard
+    contributions to the global loss and are ``psum``'d.
 
     The curriculum RNG is replicated, so every shard draws the SAME
     per-horizon-step coins — matching single-device semantics exactly
@@ -131,7 +142,25 @@ def make_shardmap_train_step(
         out = megacrn.forward(params, x, y_cov, model_cfg, labels=y,
                               batches_seen=batches_seen, rng=rng,
                               training=True, road_supports=road_supports)
-        return composite_loss(out, y, train_cfg, scaler_mean, scaler_std)
+        if train_cfg.pred_loss == "masked_mae_inv":
+            y_pred = out.output * scaler_std + scaler_mean
+            y_true = y * scaler_std + scaler_mean
+            num, den = losses.masked_mae_sums(y_pred, y_true)
+            num = jax.lax.psum(num, DATA_AXIS)
+            den = jax.lax.psum(den, DATA_AXIS)
+            # den is a mask count (0 or >= 1); num == 0 whenever den == 0,
+            # so the max() guard yields exactly masked_mae_loss's 0-or-ratio
+            # without a NaN-producing where branch in the backward pass.
+            pred_loss = num / jnp.maximum(den, 1.0)
+        elif train_cfg.pred_loss == "l1_normalized":
+            # Plain mean over equal-size shards: pmean IS the global mean.
+            pred_loss = jax.lax.pmean(
+                jnp.mean(jnp.abs(out.output - y)), DATA_AXIS)
+        else:
+            raise ValueError(f"unknown pred_loss {train_cfg.pred_loss!r}")
+        aux = losses.megacrn_aux_losses(out.query, out.pos, out.neg,
+                                        train_cfg.lamb, train_cfg.lamb1)
+        return pred_loss + jax.lax.pmean(aux, DATA_AXIS)
 
     rep = P()
     bspec = P(DATA_AXIS)  # leading batch axis; rest replicated
@@ -140,8 +169,12 @@ def make_shardmap_train_step(
         rng = jax.random.fold_in(rng, batches_seen.astype(jnp.int32))
         loss, grads = jax.value_and_grad(loss_fn)(
             params, x, y, y_cov, batches_seen, rng)
+        # loss_fn contains the collectives, so every device seeds cotangent
+        # 1 for the SAME global loss and the psum/pmean transposes make each
+        # per-device grad P x (that device's data contribution); pmean both
+        # sums the contributions and cancels the P overcount — the exact
+        # global gradient.
         grads = jax.lax.pmean(grads, DATA_AXIS)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

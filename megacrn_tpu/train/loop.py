@@ -130,11 +130,27 @@ def fit(
         train_step = make_train_step(model_cfg, train_cfg, optimizer,
                                      mean, std, road_supports=road_supports)
         place_batch = lambda arrays: arrays
-    eval_raw = make_eval_step(model_cfg, train_cfg, mean, std,
-                              road_supports=road_supports)
+    if mesh is not None and model_cfg.graph_backend == "road_sparse":
+        # Data-parallel eval: forward through shard_map (Pallas kernel runs
+        # per-device on its batch shard), metrics on the sharded outputs.
+        from megacrn_tpu.parallel.api import make_shardmap_eval_forward
+        from megacrn_tpu.train.steps import _metric_steps, eval_metrics
 
-    def eval_step(x0, y0, y_cov):
-        return eval_raw(params, x0, y0, y_cov)
+        eval_fwd = make_shardmap_eval_forward(model_cfg, mesh,
+                                              road_supports=road_supports)
+        msteps = _metric_steps(model_cfg.horizon)
+        metrics_fn = jax.jit(lambda out, y: eval_metrics(
+            out, y, train_cfg, mean, std, msteps))
+
+        def eval_step(x0, y0, y_cov):
+            x0s, ycs = place_batch((x0, y_cov))
+            return metrics_fn(eval_fwd(params, x0s, ycs), y0)
+    else:
+        eval_raw = make_eval_step(model_cfg, train_cfg, mean, std,
+                                  road_supports=road_supports)
+
+        def eval_step(x0, y0, y_cov):
+            return eval_raw(params, x0, y0, y_cov)
 
     batches_seen = 0
     start_epoch = 0

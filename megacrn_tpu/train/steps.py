@@ -97,26 +97,37 @@ def make_eval_step(
     def eval_step(params, x, y, y_cov):
         out = megacrn.forward(params, x, y_cov, model_cfg, training=False,
                               road_supports=road_supports)
-        y_pred = out.output * scaler_std + scaler_mean
-        y_true = y * scaler_std + scaler_mean
-        loss = composite_loss(out, y, train_cfg, scaler_mean, scaler_std)
-        m = {
-            "loss": loss,
-            "mae": losses.masked_mae_loss(y_pred, y_true),
-            "mape": losses.masked_mape_loss(y_pred, y_true),
-            "mse": losses.masked_mse_loss(y_pred, y_true),
-        }
-        for s in steps:
-            sl_pred = y_pred[:, s - 1:s]
-            sl_true = y_true[:, s - 1:s]
-            m[f"mae_{s}"] = losses.masked_mae_loss(sl_pred, sl_true)
-            m[f"mape_{s}"] = losses.masked_mape_loss(sl_pred, sl_true)
-            m[f"mse_{s}"] = losses.masked_mse_loss(sl_pred, sl_true)
+        m = eval_metrics(out, y, train_cfg, scaler_mean, scaler_std, steps)
         if return_predictions:
-            return m, y_pred
+            return m, out.output * scaler_std + scaler_mean
         return m
 
     return eval_step
+
+
+def eval_metrics(out: megacrn.MegaCRNOutput, y: jnp.ndarray,
+                 train_cfg: TrainConfig, scaler_mean, scaler_std,
+                 steps: Tuple[int, ...]) -> dict:
+    """The per-batch masked metrics of the reference eval loop
+    (model/traintest_MegaCRN.py:60-86), as a pure function of the forward
+    output — shared by the single-device eval step and the mesh eval path
+    (which runs the forward through shard_map and the metrics via GSPMD)."""
+    y_pred = out.output * scaler_std + scaler_mean
+    y_true = y * scaler_std + scaler_mean
+    loss = composite_loss(out, y, train_cfg, scaler_mean, scaler_std)
+    m = {
+        "loss": loss,
+        "mae": losses.masked_mae_loss(y_pred, y_true),
+        "mape": losses.masked_mape_loss(y_pred, y_true),
+        "mse": losses.masked_mse_loss(y_pred, y_true),
+    }
+    for s in steps:
+        sl_pred = y_pred[:, s - 1:s]
+        sl_true = y_true[:, s - 1:s]
+        m[f"mae_{s}"] = losses.masked_mae_loss(sl_pred, sl_true)
+        m[f"mape_{s}"] = losses.masked_mape_loss(sl_pred, sl_true)
+        m[f"mse_{s}"] = losses.masked_mse_loss(sl_pred, sl_true)
+    return m
 
 
 def summarize_eval(batch_metrics: list, horizon: int) -> dict:

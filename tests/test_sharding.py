@@ -79,6 +79,73 @@ def test_sharded_train_step_matches_single_device():
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_gspmd_curriculum_rng_mid_range():
+    """GSPMD step == single-device step at a MID-RANGE curriculum counter
+    (threshold ~0.5, so the scheduled-sampling coins actually matter), and
+    consecutive counters draw different coins (the per-step fold_in)."""
+    cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=4, seq_len=4, cl_decay_steps=10)
+    params = megacrn.init_params(jax.random.PRNGKey(21), cfg)
+    opt = make_optimizer(TCFG, steps_per_epoch=10)
+    x, y, ycov = _batch()
+    rng = jax.random.PRNGKey(22)
+    b = 23.0  # threshold = 10 / (10 + e^2.3) ~ 0.5
+
+    base_step = make_train_step(cfg, TCFG, opt)
+    p1, _, loss1 = base_step(params, opt.init(params), x, y, ycov, b, rng)
+
+    mesh = make_mesh(2, 4)
+    sp = shard_params(params, mesh)
+    sx, sy, sycov = shard_batch((x, y, ycov), mesh)
+    step = make_sharded_train_step(cfg, TCFG, opt, mesh, donate=False)
+    p2, _, loss2 = step(sp, opt.init(sp), sx, sy, sycov, b, rng)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-4)
+
+    # The coin pattern must change between consecutive steps: the folded key
+    # differs, so at threshold ~0.5 the use_truth vectors diverge.
+    def coins(batches_seen):
+        k = jax.random.fold_in(rng, jnp.int32(batches_seen))
+        ks = jax.random.split(k, cfg.horizon)
+        return np.asarray(jax.vmap(lambda kk: jax.random.uniform(kk))(ks))
+    thr = float(megacrn.compute_sampling_threshold(cfg.cl_decay_steps, b))
+    assert not np.array_equal(coins(23) < thr, coins(24) < thr)
+    # ... and the mesh step actually consumes them: same state, consecutive
+    # counters -> different losses (would be equal under a per-epoch key).
+    sp2 = shard_params(params, mesh)
+    _, _, loss3 = step(sp2, opt.init(sp2), sx, sy, sycov, 24.0, rng)
+    assert abs(float(loss3) - float(loss2)) > 1e-7
+
+
+def test_shardmap_masked_loss_global_mask_normalization():
+    """Zero-masked targets concentrated in one batch shard: the shard_map
+    step must reproduce the GLOBAL masked-mean normalisation (psum of
+    sums), not a pmean of per-shard masked means."""
+    from megacrn_tpu.parallel.api import make_shardmap_train_step
+
+    params = megacrn.init_params(jax.random.PRNGKey(31), CFG)
+    opt = make_optimizer(TCFG, steps_per_epoch=10)
+    x, y, ycov = _batch()
+    y = y.copy()
+    y[:6] = 0.0  # data shard 0 of the (2, 4) mesh is FULLY masked out
+    rng = jax.random.PRNGKey(32)
+
+    base_step = make_train_step(CFG, TCFG, opt)
+    p1, _, loss1 = base_step(params, opt.init(params), x, y, ycov, 5.0, rng)
+
+    mesh = make_mesh(2, 4)
+    step = make_shardmap_train_step(CFG, TCFG, opt, mesh, donate=False)
+    p2, _, loss2 = step(params, opt.init(params), x, y, ycov, 5.0, rng)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_param_shardings_stable_across_updates():
     mesh = make_mesh(2, 4)
     params = megacrn.init_params(jax.random.PRNGKey(4), CFG)
