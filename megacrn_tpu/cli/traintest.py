@@ -39,6 +39,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cl_decay_steps", type=int, default=2000)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--graph_backend", type=str, default="dense",
+                   choices=["dense", "road_sparse", "sparse_meta",
+                            "dense_ring"],
+                   help="graph aggregation backend: dense XLA einsum "
+                        "(parity), Pallas block-ELL SpMM over the static "
+                        "road graph, learned block-sparse meta-graph, or "
+                        "dense with explicit ring collectives on a mesh")
+    p.add_argument("--adj_path", type=str, default=None,
+                   help=".npy 0/1 road adjacency (expy-tky_adj01.npy "
+                        "semantics, model_EXPYTKY/traintest_MegaCRN.py:"
+                        "187-188); required by the sparse backends unless "
+                        "running on SYNTH (which generates one)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize cell steps in the backward pass "
+                        "(trade FLOPs for HBM)")
     # train
     p.add_argument("--lamb", type=float, default=None)
     p.add_argument("--lamb1", type=float, default=None)
@@ -84,7 +99,8 @@ def configs_from_args(args):
         cheb_k=args.cheb_k, num_layers=args.num_layers,
         cl_decay_steps=args.cl_decay_steps,
         use_curriculum_learning=args.use_curriculum_learning,
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype,
+        graph_backend=args.graph_backend, remat=args.remat)
     model_cfg = model_config_for(ds, **model_over)
 
     train_over = {}
@@ -137,7 +153,60 @@ def _load_expytky_data(args, model_cfg, train_cfg):
         val_ratio=train_cfg.val_ratio)
 
 
-def _make_concat_final_eval(model_cfg, data):
+def build_road_supports(args, model_cfg):
+    """Wire the road adjacency into the chosen sparse backend's graph
+    constant: ``--adj_path`` (expy-tky_adj01.npy semantics) or a synthetic
+    stand-in -> dual-random-walk supports -> BlockELL packs (road_sparse) /
+    edge BlockPattern (sparse_meta). Returns None for the dense backends."""
+    if model_cfg.graph_backend not in ("road_sparse", "sparse_meta"):
+        return None
+    import os
+
+    import numpy as np
+
+    from megacrn_tpu.data import expytky
+
+    if args.adj_path:
+        sub_idx = None
+        if args.data_dir and os.path.isdir(args.data_dir):
+            sub_name = ("tokyoall_link_idx.csv"
+                        if args.dataset == "EXPYTKY_ALL"
+                        else "tokyo_link_idx.csv")
+            sub_path = os.path.join(args.data_dir, sub_name)
+            if os.path.exists(sub_path) and args.dataset.startswith("EXPYTKY"):
+                sub_idx = np.loadtxt(sub_path).astype(int)
+        adj = expytky.load_adjacency(args.adj_path, sub_idx)
+        if adj.shape[0] != model_cfg.num_nodes:
+            raise SystemExit(
+                f"adjacency is {adj.shape[0]} nodes, model expects "
+                f"{model_cfg.num_nodes}")
+    else:
+        if args.dataset != "SYNTH":
+            raise SystemExit(
+                f"--graph_backend={model_cfg.graph_backend} requires "
+                "--adj_path (or --dataset SYNTH for a generated graph)")
+        from megacrn_tpu.data.synthetic import synthetic_road_adjacency
+
+        adj = synthetic_road_adjacency(model_cfg.num_nodes, avg_degree=8,
+                                       seed=0)
+
+    if model_cfg.graph_backend == "road_sparse":
+        from megacrn_tpu.kernels.spmm import to_block_ell, transpose_block_ell
+        from megacrn_tpu.ops.graph import dual_random_walk_supports
+
+        s1, s2 = dual_random_walk_supports(adj)
+        return [(to_block_ell(s1), transpose_block_ell(s1)),
+                (to_block_ell(s2), transpose_block_ell(s2))]
+    # sparse_meta: learned meta-graph restricted to the symmetrised edge
+    # pattern (+ self loops, so every row has at least one edge).
+    from megacrn_tpu.kernels.sparse_graph import build_block_pattern
+
+    pat = ((adj != 0) | (adj.T != 0)).astype(np.float32)
+    np.fill_diagonal(pat, 1.0)
+    return build_block_pattern(pat)
+
+
+def _make_concat_final_eval(model_cfg, data, road_supports=None):
     """traintestv1 flavor (model/traintestv1_MegaCRN.py:54-92): global
     metrics over concatenated, pad-trimmed, inverse-transformed preds."""
     import functools
@@ -148,7 +217,8 @@ def _make_concat_final_eval(model_cfg, data):
     from megacrn_tpu.train.eval_modes import eval_concat
 
     def final_eval(params):
-        fwd = jax.jit(functools.partial(megacrn.forward, cfg=model_cfg))
+        fwd = jax.jit(functools.partial(megacrn.forward, cfg=model_cfg,
+                                        road_supports=road_supports))
 
         def predict(x0, y_cov):
             return fwd(params, x0, y_cov).output
@@ -160,7 +230,7 @@ def _make_concat_final_eval(model_cfg, data):
     return final_eval
 
 
-def _make_expytky_final_eval(model_cfg, data):
+def _make_expytky_final_eval(model_cfg, data, road_supports=None):
     import functools
 
     import jax
@@ -169,7 +239,8 @@ def _make_expytky_final_eval(model_cfg, data):
     from megacrn_tpu.train.eval_modes import eval_expytky
 
     def final_eval(params):
-        fwd = jax.jit(functools.partial(megacrn.forward, cfg=model_cfg))
+        fwd = jax.jit(functools.partial(megacrn.forward, cfg=model_cfg,
+                                        road_supports=road_supports))
 
         def predict(x0, y_cov):
             return fwd(params, x0, y_cov).output
@@ -188,6 +259,9 @@ def main(argv=None):
     from megacrn_tpu.data import datasets
     from megacrn_tpu.train.logs import RunDir
     from megacrn_tpu.train.loop import fit
+
+    # Fail fast on a missing adjacency before any data loading.
+    road_supports = build_road_supports(args, model_cfg)
 
     final_eval_fn = None
     if args.dataset == "SYNTH":
@@ -213,13 +287,15 @@ def main(argv=None):
 
     run = RunDir(args.save_dir, args.dataset)
     if args.dataset.startswith("EXPYTKY"):
-        final_eval_fn = _make_expytky_final_eval(model_cfg, data)
+        final_eval_fn = _make_expytky_final_eval(model_cfg, data,
+                                                 road_supports)
     elif args.eval_aggregation == "concat":
-        final_eval_fn = _make_concat_final_eval(model_cfg, data)
+        final_eval_fn = _make_concat_final_eval(model_cfg, data,
+                                                road_supports)
     result = fit(model_cfg, train_cfg, data, run, resume=args.resume,
                  test_every_epoch=args.test_every_epoch,
                  final_eval_fn=final_eval_fn, mesh=mesh,
-                 ckpt_backend=args.ckpt_backend)
+                 ckpt_backend=args.ckpt_backend, road_supports=road_supports)
     print({k: v for k, v in result["test_metrics"].items()})
     return result
 

@@ -35,7 +35,12 @@ class MegaCRNConfig:
     use_curriculum_learning: bool = True
     # TPU knobs (no reference counterpart):
     compute_dtype: str = "float32"  # "float32" | "bfloat16" matmul inputs
-    graph_backend: str = "dense"  # "dense" einsum | "pallas" blocked kernels
+    # Graph aggregation backend: "dense" (XLA einsum, parity baseline) |
+    # "road_sparse" (Pallas block-ELL SpMM over static road supports) |
+    # "sparse_meta" (learned block-sparse meta-graph, XLA) | "dense_ring"
+    # (dense math; on a mesh the train step uses the explicit ppermute ring
+    # schedule for node partitioning, megacrn_tpu.parallel.ring).
+    graph_backend: str = "dense"
     remat: bool = False  # rematerialize cell steps in backward (saves HBM)
 
     def __post_init__(self):

@@ -73,6 +73,7 @@ def forward(
     training: bool = False,
     shard_fn=None,
     road_supports=None,
+    ring_axis: Optional[str] = None,
 ) -> MegaCRNOutput:
     """Full forward pass (model/MegaCRN.py:168-194).
 
@@ -85,10 +86,17 @@ def forward(
     pin the node-partitioned layout through the scans so XLA places the
     boundary all-gathers instead of resharding (SURVEY.md section 5,
     node/edge partitioning).
+
+    ``ring_axis`` — set (to the mesh node-axis name) only when this forward
+    runs INSIDE a shard_map with x/labels node-sharded: the dense_ring
+    backend then builds per-device support row-blocks and aggregates via the
+    explicit ppermute ring schedule (megacrn_tpu.parallel.ring). All node-axis
+    shapes below derive from x, so they are automatically per-shard sizes.
     """
     if shard_fn is None:
         shard_fn = lambda kind, t: t
     batch = x.shape[0]
+    n_nodes = x.shape[2]  # == cfg.num_nodes, or the per-shard node count
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     mem = params["memory"]
 
@@ -122,12 +130,28 @@ def forward(
             raise ValueError("len(road_supports) != cfg.num_supports")
         supports = road_supports
         aggregate = cheb_aggregate_sparse
+    elif cfg.graph_backend == "dense_ring" and ring_axis is not None:
+        # Explicit-collective node partition: per-device support row-blocks,
+        # aggregation = ring ppermute schedule (communication hidden under
+        # the local block-column matmuls). Only valid inside shard_map.
+        from megacrn_tpu.parallel.ring import (cheb_aggregate_ring,
+                                               local_meta_supports)
+
+        supports = local_meta_supports(mem["Memory"], mem["We1"], mem["We2"],
+                                       ring_axis, n_nodes)
+
+        def aggregate(supports_, x_, k_):
+            return cheb_aggregate_ring(supports_, x_, k_, ring_axis)
+
     else:
+        # 'dense', or 'dense_ring' outside shard_map (single-device parity
+        # path — identical math, XLA-inserted collectives if any).
         supports = shard_fn("supports",
                             meta_graph(mem["Memory"], mem["We1"], mem["We2"]))
         aggregate = cheb_aggregate
     enc_params, dec_params = params["encoder"], params["decoder"]
-    if compute_dtype != jnp.float32 and aggregate is cheb_aggregate:
+    if compute_dtype != jnp.float32 and cfg.graph_backend in ("dense",
+                                                              "dense_ring"):
         supports = supports.astype(compute_dtype)
         x = x.astype(compute_dtype)
         y_cov = y_cov.astype(compute_dtype)
@@ -136,7 +160,7 @@ def forward(
         enc_params, dec_params = cast(enc_params), cast(dec_params)
 
     # --- encoder over T (model/MegaCRN.py:174-176) ---
-    enc_states = init_hidden(cfg.num_layers, batch, cfg.num_nodes,
+    enc_states = init_hidden(cfg.num_layers, batch, n_nodes,
                              cfg.rnn_units, compute_dtype)
     x_tm = jnp.swapaxes(x, 0, 1)  # (T, B, N, C)
 
@@ -175,10 +199,10 @@ def forward(
     else:
         use_truth = jnp.zeros((cfg.horizon,), bool)
         labels_tm = jnp.zeros(
-            (cfg.horizon, batch, cfg.num_nodes, cfg.output_dim), compute_dtype)
+            (cfg.horizon, batch, n_nodes, cfg.output_dim), compute_dtype)
 
     y_cov_tm = jnp.swapaxes(y_cov, 0, 1)  # (horizon, B, N, ycov)
-    go0 = jnp.zeros((batch, cfg.num_nodes, cfg.output_dim), compute_dtype)
+    go0 = jnp.zeros((batch, n_nodes, cfg.output_dim), compute_dtype)
     proj_w = params["proj"]["W"].astype(compute_dtype)
     proj_b = params["proj"]["b"].astype(compute_dtype)
 

@@ -42,7 +42,7 @@ except ImportError:  # pragma: no cover - older jax
 from megacrn_tpu.config import MegaCRNConfig, TrainConfig
 from megacrn_tpu.models import megacrn
 from megacrn_tpu.ops import losses
-from megacrn_tpu.parallel.mesh import DATA_AXIS, make_shard_fn
+from megacrn_tpu.parallel.mesh import DATA_AXIS, NODE_AXIS, make_shard_fn
 from megacrn_tpu.train.steps import composite_loss
 
 
@@ -67,6 +67,10 @@ def make_sharded_train_step(
         raise ValueError(
             "graph_backend='road_sparse' is a Pallas custom call that GSPMD "
             "cannot partition; use make_shardmap_train_step for meshes")
+    if model_cfg.graph_backend == "dense_ring":
+        raise ValueError(
+            "graph_backend='dense_ring' is an explicit-collective schedule; "
+            "use make_ring_train_step")
     shard_fn = make_shard_fn(mesh)
 
     def loss_fn(params, x, y, y_cov, batches_seen, rng):
@@ -175,6 +179,76 @@ def make_shardmap_train_step(
         # sums the contributions and cancels the P overcount — the exact
         # global gradient.
         grads = jax.lax.pmean(grads, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    mapped = shard_map(step, mesh=mesh,
+                       in_specs=(rep, rep, bspec, bspec, bspec, rep, rep),
+                       out_specs=(rep, rep, rep), check_rep=False)
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(mapped, donate_argnums=donate_argnums)
+
+
+def make_ring_train_step(
+    model_cfg: MegaCRNConfig,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    scaler_mean: float = 0.0,
+    scaler_std: float = 1.0,
+    donate: bool = True,
+) -> Callable:
+    """Explicit-collective node-partitioned + data-parallel train step.
+
+    The whole forward/backward runs inside one shard_map over the full
+    ``(data, node)`` mesh: the batch is sharded over ``data``, the node axis
+    of x/y/y_cov/states over ``node``, and every ``support @ x`` aggregation
+    is the explicit ring ppermute schedule (megacrn_tpu.parallel.ring) —
+    boundary exchange overlapped with local block-column matmuls, the
+    SURVEY section 5 north-star. Params (incl. We1/We2, small at N x M) are
+    replicated; each device builds only its row-block of the meta-graph
+    supports. Requires num_nodes and batch divisible by the respective mesh
+    axes. Backend must be 'dense_ring'.
+
+    Loss normalisation is global exactly as in ``make_shardmap_train_step``
+    (psum of masked sums over BOTH axes), and grads are pmean'd over both
+    axes, which sums the per-device contributions and cancels the
+    every-device-seeds-cotangent-1 overcount.
+    """
+    if model_cfg.graph_backend != "dense_ring":
+        raise ValueError("make_ring_train_step requires "
+                         "graph_backend='dense_ring'")
+    axes = (DATA_AXIS, NODE_AXIS)
+
+    def loss_fn(params, x, y, y_cov, batches_seen, rng):
+        out = megacrn.forward(params, x, y_cov, model_cfg, labels=y,
+                              batches_seen=batches_seen, rng=rng,
+                              training=True, ring_axis=NODE_AXIS)
+        if train_cfg.pred_loss == "masked_mae_inv":
+            y_pred = out.output * scaler_std + scaler_mean
+            y_true = y * scaler_std + scaler_mean
+            num, den = losses.masked_mae_sums(y_pred, y_true)
+            num = jax.lax.psum(num, axes)
+            den = jax.lax.psum(den, axes)
+            pred_loss = num / jnp.maximum(den, 1.0)
+        elif train_cfg.pred_loss == "l1_normalized":
+            pred_loss = jax.lax.pmean(
+                jnp.mean(jnp.abs(out.output - y)), axes)
+        else:
+            raise ValueError(f"unknown pred_loss {train_cfg.pred_loss!r}")
+        aux = losses.megacrn_aux_losses(out.query, out.pos, out.neg,
+                                        train_cfg.lamb, train_cfg.lamb1)
+        return pred_loss + jax.lax.pmean(aux, axes)
+
+    rep = P()
+    bspec = P(DATA_AXIS, None, NODE_AXIS, None)  # (B, T, N, C)
+
+    def step(params, opt_state, x, y, y_cov, batches_seen, rng):
+        rng = jax.random.fold_in(rng, batches_seen.astype(jnp.int32))
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, x, y, y_cov, batches_seen, rng)
+        grads = jax.lax.pmean(grads, axes)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

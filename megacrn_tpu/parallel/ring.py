@@ -49,6 +49,51 @@ def ring_support_matmul(support_local: jnp.ndarray, x_local: jnp.ndarray,
     return acc
 
 
+def local_meta_supports(memory: jnp.ndarray, we1: jnp.ndarray,
+                        we2: jnp.ndarray, axis_name: str,
+                        n_local: int) -> jnp.ndarray:
+    """Per-device row-block of the meta-graph supports (inside shard_map).
+
+    Same math as ``ops.graph.meta_graph`` (model/MegaCRN.py:168-173) but each
+    device materialises only its n_local rows of the two N x N supports: the
+    node embeddings E1/E2 are tiny (N x d) and computed replicated from the
+    replicated memory params, then sliced by ``axis_index``. Row softmax runs
+    over the full (local) row, so the blocks are exact.
+
+    Returns (2, n_local, N).
+    """
+    e1 = we1 @ memory  # (N, d), replicated compute
+    e2 = we2 @ memory
+    idx = jax.lax.axis_index(axis_name)
+    e1_loc = jax.lax.dynamic_slice_in_dim(e1, idx * n_local, n_local, 0)
+    e2_loc = jax.lax.dynamic_slice_in_dim(e2, idx * n_local, n_local, 0)
+    g1 = jax.nn.softmax(jax.nn.relu(e1_loc @ e2.T), axis=-1)
+    g2 = jax.nn.softmax(jax.nn.relu(e2_loc @ e1.T), axis=-1)
+    return jnp.stack([g1, g2], axis=0)
+
+
+def cheb_aggregate_ring(supports: jnp.ndarray, x: jnp.ndarray, cheb_k: int,
+                        axis_name: str) -> jnp.ndarray:
+    """Chebyshev feature stack (reference order, ops.graph.cheb_aggregate)
+    where every ``A @ x`` is the explicit ring schedule over the node axis.
+
+    supports: (S, n_local, N) local row-blocks; x: (B, n_local, C) local
+    node-block. Returns (B, n_local, S*cheb_k, C).
+    """
+    terms = []
+    for s in range(supports.shape[0]):
+        a = supports[s]
+        t_prev = x
+        t_cur = ring_support_matmul(a, x, axis_name)
+        terms.append(t_prev)
+        terms.append(t_cur)
+        for _ in range(2, cheb_k):
+            t_prev, t_cur = t_cur, (
+                2.0 * ring_support_matmul(a, t_cur, axis_name) - t_prev)
+            terms.append(t_cur)
+    return jnp.stack(terms, axis=2)
+
+
 def make_ring_aggregate(mesh: Mesh, node_axis: str = "node",
                         data_axis: str = "data"):
     """Returns a jitted ``(support (N, N), x (B, N, C)) -> (B, N, C)`` that

@@ -105,11 +105,19 @@ def fit(
 
     mean, std = data.get("scaler_mean", 0.0), data.get("scaler_std", 1.0)
     if mesh is not None:
-        from megacrn_tpu.parallel.api import (make_sharded_train_step,
+        from megacrn_tpu.parallel.api import (make_ring_train_step,
+                                              make_sharded_train_step,
                                               make_shardmap_train_step)
         from megacrn_tpu.parallel.mesh import shard_batch, shard_params
 
-        if model_cfg.graph_backend == "road_sparse":
+        if model_cfg.graph_backend == "dense_ring":
+            # Explicit-collective node partition: the whole train step runs
+            # in shard_map with ring ppermute aggregation; params replicated.
+            train_step = make_ring_train_step(
+                model_cfg, train_cfg, optimizer, mesh, mean, std,
+                donate=False)
+            place_batch = lambda arrays: shard_batch(arrays, mesh)
+        elif model_cfg.graph_backend == "road_sparse":
             # Pallas custom call: explicit DP shard_map, replicated params.
             from jax.sharding import NamedSharding, PartitionSpec as P
 

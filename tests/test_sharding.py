@@ -224,6 +224,58 @@ def test_fit_with_mesh_end_to_end(tmp_path):
     assert np.isfinite(result["best_val"]) and result["epochs_run"] == 2
 
 
+def test_ring_train_step_matches_single_device():
+    """The dense_ring backend: full train step through the explicit
+    ppermute ring schedule on a (2, 4) mesh must reproduce the
+    single-device dense update (same math, manual collectives)."""
+    from megacrn_tpu.parallel.api import make_ring_train_step
+
+    cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=4, seq_len=4, cl_decay_steps=10,
+                        graph_backend="dense_ring")
+    dense_cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                              horizon=4, seq_len=4, cl_decay_steps=10)
+    params = megacrn.init_params(jax.random.PRNGKey(41), dense_cfg)
+    opt = make_optimizer(TCFG, steps_per_epoch=10)
+    x, y, ycov = _batch()
+    y = y.copy()
+    y[:2] = 0.0  # exercise the global mask normalisation too
+    rng = jax.random.PRNGKey(42)
+    b = 23.0  # mid-range curriculum threshold
+
+    base_step = make_train_step(dense_cfg, TCFG, opt)
+    p1, _, loss1 = base_step(params, opt.init(params), x, y, ycov, b, rng)
+
+    mesh = make_mesh(2, 4)
+    step = make_ring_train_step(cfg, TCFG, opt, mesh, donate=False)
+    p2, _, loss2 = step(params, opt.init(params), x, y, ycov, b, rng)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_fit_with_mesh_dense_ring_end_to_end(tmp_path):
+    """Full harness training through the ring-collective path."""
+    from megacrn_tpu.data.datasets import build_synthetic
+    from megacrn_tpu.train.logs import RunDir
+    from megacrn_tpu.train.loop import fit
+
+    mesh = make_mesh(2, 4)
+    model_cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                              horizon=3, seq_len=3,
+                              graph_backend="dense_ring")
+    train_cfg = TrainConfig(batch_size=16, epochs=1, patience=5, seed=0,
+                            lr_milestones=(100,))
+    data = build_synthetic(num_nodes=16, num_steps=200, seq_len=3, horizon=3,
+                           batch_size=16)
+    run = RunDir(str(tmp_path), "SYNTH", snapshot_sources=False)
+    result = fit(model_cfg, train_cfg, data, run, test_every_epoch=False,
+                 mesh=mesh)
+    assert np.isfinite(result["best_val"]) and result["epochs_run"] == 1
+
+
 def test_shardmap_train_step_road_sparse_matches_single_device():
     """The Pallas road_sparse backend on a mesh: explicit shard_map DP must
     reproduce the single-device update exactly (equal shards -> pmean of
