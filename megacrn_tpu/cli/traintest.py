@@ -146,11 +146,12 @@ def _load_expytky_data(args, model_cfg, train_cfg):
         test_months = [month("202112")]
         return datasets.build_expytky(
             train_months, test_months, model_cfg.seq_len, model_cfg.horizon,
-            train_cfg.batch_size, val_ratio=train_cfg.val_ratio)
+            train_cfg.batch_size, val_ratio=train_cfg.val_ratio,
+            shuffle_seed=train_cfg.seed)
     return datasets.build_expytky_synthetic(
         num_nodes=model_cfg.num_nodes, his_len=model_cfg.seq_len,
         seq_len=model_cfg.horizon, batch_size=train_cfg.batch_size,
-        val_ratio=train_cfg.val_ratio)
+        val_ratio=train_cfg.val_ratio, shuffle_seed=train_cfg.seed)
 
 
 def build_road_supports(args, model_cfg):
@@ -269,7 +270,8 @@ def main(argv=None):
             num_nodes=model_cfg.num_nodes, num_steps=args.synth_steps,
             seq_len=model_cfg.seq_len, horizon=model_cfg.horizon,
             batch_size=train_cfg.batch_size,
-            reshuffle_each_epoch=args.reshuffle_each_epoch)
+            reshuffle_each_epoch=args.reshuffle_each_epoch,
+            shuffle_seed=train_cfg.seed)
     elif args.dataset.startswith("EXPYTKY"):
         data = _load_expytky_data(args, model_cfg, train_cfg)
     else:
@@ -277,7 +279,8 @@ def main(argv=None):
             raise SystemExit(f"--data_dir required for dataset {args.dataset}")
         data = datasets.load_npz_splits(
             args.data_dir, train_cfg.batch_size,
-            reshuffle_each_epoch=args.reshuffle_each_epoch)
+            reshuffle_each_epoch=args.reshuffle_each_epoch,
+            shuffle_seed=train_cfg.seed)
 
     mesh = None
     if args.mesh_data * args.mesh_node > 1:

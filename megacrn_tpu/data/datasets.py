@@ -23,9 +23,12 @@ from megacrn_tpu.data.windowing import chronological_split, generate_seq2seq_dat
 
 
 def _finalize(splits: Dict, batch_size: int, shuffle_rng=None,
-              reshuffle_each_epoch: bool = False) -> Dict:
+              reshuffle_each_epoch: bool = False,
+              shuffle_seed=None) -> Dict:
     """Scale channel 0 by train-x stats, build loaders
-    (model/traintest_MegaCRN.py:274-280)."""
+    (model/traintest_MegaCRN.py:274-280). ``shuffle_seed`` makes the
+    per-epoch reshuffle a pure function of (seed, epoch) via
+    ``BatchLoader.set_epoch`` — required for checkpoint-exact resume."""
     x_train, _ = splits["train"]
     scaler = StandardScaler.fit(x_train[..., 0])
     data: Dict = {"scaler": scaler, "scaler_mean": scaler.mean,
@@ -42,7 +45,7 @@ def _finalize(splits: Dict, batch_size: int, shuffle_rng=None,
         data[f"x_{cat}"], data[f"y_{cat}"] = x, y
         data[f"{cat}_loader"] = BatchLoader(
             x, y, batch_size, shuffle=(cat == "train"), rng=rng,
-            reshuffle_each_epoch=reshuffle_each_epoch)
+            reshuffle_each_epoch=reshuffle_each_epoch, seed=shuffle_seed)
     return data
 
 
@@ -71,7 +74,8 @@ def build_synthetic(num_nodes: int = 32, num_steps: int = 2000,
 
 def build_expytky(train_months, test_months, his_len: int, seq_len: int,
                   batch_size: int, val_ratio: float = 0.25,
-                  fit_on: str = "train+test", shuffle_rng=None) -> Dict:
+                  fit_on: str = "train+test", shuffle_rng=None,
+                  shuffle_seed=None) -> Dict:
     """EXPY-TKY assembly (model_EXPYTKY/traintest_MegaCRN.py:262-290).
 
     ``{train,test}_months``: lists of (T, N, 2) arrays with channels
@@ -96,7 +100,8 @@ def build_expytky(train_months, test_months, his_len: int, seq_len: int,
         # column scaler is only applied in the final numpy eval.
         "train_loader": BatchLoader(x_tv[:train_size], y_tv[:train_size],
                                     batch_size, shuffle=True,
-                                    reshuffle_each_epoch=True, rng=rng),
+                                    reshuffle_each_epoch=True, rng=rng,
+                                    seed=shuffle_seed),
         "val_loader": BatchLoader(x_tv[train_size:], y_tv[train_size:],
                                   batch_size),
         "test_loader": BatchLoader(x_te, y_te, batch_size),

@@ -24,8 +24,15 @@ class BatchLoader:
         shuffle: bool = False,
         reshuffle_each_epoch: bool = False,
         rng: Optional[np.random.Generator] = None,
+        seed: Optional[int] = None,
     ):
         self.batch_size = batch_size
+        # Seeded mode: with ``seed`` set and ``set_epoch(e)`` called, the
+        # epoch-e permutation is a pure function of (seed, e) — a resumed run
+        # sees the exact batch order of the uninterrupted one (the stateful
+        # ``rng`` alternative advances opaquely and cannot be checkpointed).
+        self._seed = seed
+        self._epoch: Optional[int] = None
         self.true_size = len(xs)  # before padding (for trim-after-concat eval)
         if pad_with_last_sample and len(xs) % batch_size != 0:
             num_padding = (batch_size - (len(xs) % batch_size)) % batch_size
@@ -52,10 +59,20 @@ class BatchLoader:
     def __len__(self) -> int:
         return self.num_batch
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the reshuffle permutation to (seed, epoch); no-op unless the
+        loader was built with a ``seed`` (torch DistributedSampler.set_epoch
+        semantics, for checkpoint-exact resume)."""
+        self._epoch = epoch
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         xs, ys = self.xs, self.ys
         if self.reshuffle_each_epoch:
-            perm = self.rng.permutation(self.size)
+            if self._seed is not None and self._epoch is not None:
+                gen = np.random.default_rng((self._seed, self._epoch))
+            else:
+                gen = self.rng
+            perm = gen.permutation(self.size)
             xs, ys = self._gather(xs, perm), self._gather(ys, perm)
         for i in range(self.num_batch):
             s = i * self.batch_size

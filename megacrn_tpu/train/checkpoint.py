@@ -47,11 +47,20 @@ def _unflatten_like(template, flat: Dict[str, np.ndarray]):
 
 
 def save_checkpoint(path: str, params, opt_state=None, *,
-                    metadata: Optional[Dict[str, Any]] = None):
-    """Atomic write: tmp file + rename. ``path`` should end in .npz."""
+                    metadata: Optional[Dict[str, Any]] = None,
+                    arrays: Optional[Dict[str, np.ndarray]] = None):
+    """Atomic write: tmp file + rename. ``path`` should end in .npz.
+
+    ``arrays`` carries array-valued training state that must survive
+    losslessly (the live PRNG key, per-column scaler stats): JSON metadata
+    would collapse or truncate them. They come back merged into the metadata
+    dict on load, as numpy arrays.
+    """
     blob = {f"params/{k}": v for k, v in _flatten(params).items()}
     if opt_state is not None:
         blob.update({f"opt/{k}": v for k, v in _flatten(opt_state).items()})
+    for k, v in (arrays or {}).items():
+        blob[f"extra/{k}"] = np.asarray(v)
     blob["meta/json"] = np.frombuffer(
         json.dumps(metadata or {}).encode(), dtype=np.uint8)
     d = os.path.dirname(os.path.abspath(path))
@@ -76,6 +85,8 @@ def load_checkpoint(path: str, params_template, opt_state_template=None
     with np.load(path) as z:
         blob = dict(z)
     meta = json.loads(bytes(blob.pop("meta/json").tobytes()).decode())
+    for k in [k for k in blob if k.startswith("extra/")]:
+        meta[k[len("extra/"):]] = blob.pop(k)
     pflat = {k[len("params/"):]: v for k, v in blob.items()
              if k.startswith("params/")}
     params = _unflatten_like(params_template, pflat)
@@ -89,7 +100,8 @@ def load_checkpoint(path: str, params_template, opt_state_template=None
 
 
 def save_checkpoint_orbax(path: str, params, opt_state=None, *,
-                          metadata: Optional[Dict[str, Any]] = None):
+                          metadata: Optional[Dict[str, Any]] = None,
+                          arrays: Optional[Dict[str, np.ndarray]] = None):
     """Orbax directory checkpoint of the same training state.
 
     Sharded arrays are written distributed (each host saves its addressable
@@ -103,10 +115,18 @@ def save_checkpoint_orbax(path: str, params, opt_state=None, *,
     state = {"params": params}
     if opt_state is not None:
         state["opt"] = opt_state
+    meta = dict(metadata or {})
+    for k, v in (arrays or {}).items():
+        # JSON-encode losslessly (float32/float64 round-trip exactly through
+        # Python floats; PRNG keys are uint32 ints) — a template-driven
+        # StandardRestore cannot restore keys absent from the template.
+        a = np.asarray(v)
+        meta[k] = {"__array__": True, "dtype": a.dtype.str,
+                   "data": a.tolist()}
     with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
         ckptr.save(path, args=ocp.args.Composite(
             state=ocp.args.StandardSave(state),
-            meta=ocp.args.JsonSave(metadata or {}),
+            meta=ocp.args.JsonSave(meta),
         ), force=True)
 
 
@@ -128,4 +148,8 @@ def load_checkpoint_orbax(path: str, params_template, opt_state_template=None
         ))
     params = restored["state"]["params"]
     opt_state = restored["state"].get("opt")
-    return params, opt_state, dict(restored["meta"] or {})
+    meta = dict(restored["meta"] or {})
+    for k, v in meta.items():
+        if isinstance(v, dict) and v.get("__array__"):
+            meta[k] = np.asarray(v["data"], dtype=np.dtype(v["dtype"]))
+    return params, opt_state, meta

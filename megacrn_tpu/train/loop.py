@@ -114,8 +114,7 @@ def fit(
             # Explicit-collective node partition: the whole train step runs
             # in shard_map with ring ppermute aggregation; params replicated.
             train_step = make_ring_train_step(
-                model_cfg, train_cfg, optimizer, mesh, mean, std,
-                donate=False)
+                model_cfg, train_cfg, optimizer, mesh, mean, std)
             place_batch = lambda arrays: shard_batch(arrays, mesh)
         elif model_cfg.graph_backend == "road_sparse":
             # Pallas custom call: explicit DP shard_map, replicated params.
@@ -123,7 +122,7 @@ def fit(
 
             train_step = make_shardmap_train_step(
                 model_cfg, train_cfg, optimizer, mesh, mean, std,
-                donate=False, road_supports=road_supports)
+                road_supports=road_supports)
             dp = NamedSharding(mesh, P("data"))
             place_batch = lambda arrays: jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, dp), arrays)
@@ -132,11 +131,12 @@ def fit(
             opt_state = optimizer.init(params)
             train_step = make_sharded_train_step(
                 model_cfg, train_cfg, optimizer, mesh, mean, std,
-                donate=False, road_supports=road_supports)
+                road_supports=road_supports)
             place_batch = lambda arrays: shard_batch(arrays, mesh)
     else:
         train_step = make_train_step(model_cfg, train_cfg, optimizer,
-                                     mean, std, road_supports=road_supports)
+                                     mean, std, road_supports=road_supports,
+                                     donate=True)
         place_batch = lambda arrays: arrays
     if mesh is not None and model_cfg.graph_backend == "road_sparse":
         # Data-parallel eval: forward through shard_map (Pallas kernel runs
@@ -173,7 +173,15 @@ def fit(
             batches_seen = meta.get("batches_seen", 0)
             start_epoch = meta.get("epoch", 0) + 1
             min_val_loss = meta.get("best_val", float("inf"))
-            key = jax.random.PRNGKey(meta.get("rng_seed", seed + 1))
+            if "rng_key" in meta:
+                # The live key, so the resumed epoch's split chain is
+                # identical to the uninterrupted run's.
+                key = jnp.asarray(meta["rng_key"])
+            else:  # legacy checkpoints
+                key = jax.random.PRNGKey(meta.get("rng_seed", seed + 1))
+            if "scaler_mean_arr" in meta:
+                mean = np.asarray(meta["scaler_mean_arr"])
+                std = np.asarray(meta["scaler_std_arr"])
             logger.info("resumed from", run.checkpoint_path, "epoch", start_epoch)
 
     epochs = max_epochs if max_epochs is not None else train_cfg.epochs
@@ -183,6 +191,8 @@ def fit(
         train_losses = []
         key, k_epoch = jax.random.split(key)  # one host RNG op per EPOCH;
         # per-step keys are folded in on-device inside train_step
+        if hasattr(data["train_loader"], "set_epoch"):
+            data["train_loader"].set_epoch(epoch)
         for x, y in data["train_loader"]:
             x0, y0, y_cov = place_batch(prepare_x_y(
                 x, y, model_cfg.input_dim, model_cfg.output_dim))
@@ -221,9 +231,15 @@ def fit(
             save_ckpt(
                 run.checkpoint_path, params, opt_state,
                 metadata={"epoch": epoch, "batches_seen": batches_seen,
-                          "best_val": min_val_loss, "rng_seed": seed + epoch,
+                          "best_val": min_val_loss,
                           "scaler_mean": float(np.mean(mean)),
-                          "scaler_std": float(np.mean(std))})
+                          "scaler_std": float(np.mean(std))},
+                # Lossless state JSON can't carry: the live PRNG key (the
+                # post-split key for epoch+1) and the full per-column scaler
+                # stats (EXPY-TKY fits one mean/std per road).
+                arrays={"rng_key": np.asarray(key),
+                        "scaler_mean_arr": np.asarray(mean),
+                        "scaler_std_arr": np.asarray(std)})
         else:
             wait += 1
             if wait == train_cfg.patience:

@@ -12,6 +12,7 @@ entire evaluation pass is B jitted calls + one host mean.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Tuple
 
 import jax
@@ -45,13 +46,16 @@ def make_train_step(
     scaler_mean: float = 0.0,
     scaler_std: float = 1.0,
     road_supports=None,
+    donate: bool = False,
 ) -> Callable:
     """Returns jitted ``(params, opt_state, x, y, y_cov, batches_seen, rng)
     -> (params, opt_state, loss)``. ``batches_seen`` is a traced float driving
     the curriculum threshold, so step count does not trigger recompiles.
     ``road_supports`` feeds the sparse graph backends (BlockELL packs or a
     BlockPattern, per ``model_cfg.graph_backend``); it is closed over as a
-    trace-time constant."""
+    trace-time constant. ``donate`` aliases the params/opt-state inputs to
+    the outputs (halves their HBM footprint on the hot path); leave False
+    when the caller reuses the input pytrees after a step."""
 
     def loss_fn(params, x, y, y_cov, batches_seen, rng):
         out = megacrn.forward(params, x, y_cov, model_cfg, labels=y,
@@ -59,7 +63,7 @@ def make_train_step(
                               training=True, road_supports=road_supports)
         return composite_loss(out, y, train_cfg, scaler_mean, scaler_std)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def train_step(params, opt_state, x, y, y_cov, batches_seen, rng):
         # Derive the per-step key INSIDE the jit (fold_in on the step
         # counter): host-side jax.random.split per step would serialize a

@@ -108,6 +108,67 @@ def test_checkpoint_orbax_sharded_roundtrip(tmp_path):
         assert b.sharding == a.sharding, (ka, a.sharding, b.sharding)
 
 
+def test_checkpoint_arrays_roundtrip(tmp_path):
+    """Array-valued training state (PRNG key, per-column scaler stats) must
+    survive losslessly through both backends (VERDICT round-1 item 10)."""
+    cfg = MegaCRNConfig(num_nodes=6, rnn_units=4, mem_num=3, mem_dim=4,
+                        horizon=2, seq_len=2)
+    params = megacrn.init_params(jax.random.PRNGKey(0), cfg)
+    key = np.asarray(jax.random.PRNGKey(1234))
+    mean = np.random.default_rng(0).normal(size=(6,))  # per-column (EXPY-TKY)
+    std = np.random.default_rng(1).uniform(0.5, 2.0, size=(6,))
+    arrays = {"rng_key": key, "scaler_mean_arr": mean, "scaler_std_arr": std}
+    for save, path in [
+            (ckpt.save_checkpoint, os.path.join(tmp_path, "c.npz")),
+            (ckpt.save_checkpoint_orbax, os.path.join(tmp_path, "c_orbax"))]:
+        save(path, params, metadata={"epoch": 1}, arrays=arrays)
+        _, _, meta = ckpt.load_checkpoint(path, params)
+        assert meta["epoch"] == 1
+        np.testing.assert_array_equal(meta["rng_key"], key)
+        assert meta["rng_key"].dtype == key.dtype
+        np.testing.assert_array_equal(meta["scaler_mean_arr"], mean)
+        np.testing.assert_array_equal(meta["scaler_std_arr"], std)
+
+
+def test_resume_is_step_identical(tmp_path):
+    """A killed-and-resumed run must replay the uninterrupted trajectory
+    exactly: restored params/opt state/batches_seen, the live PRNG key (so
+    epoch key splits line up), and the (seed, epoch)-keyed loader reshuffle.
+    """
+    model_cfg = MegaCRNConfig(num_nodes=8, rnn_units=8, mem_num=4, mem_dim=8,
+                              horizon=3, seq_len=3, cl_decay_steps=20)
+    train_cfg = TrainConfig(batch_size=16, epochs=4, patience=50, seed=7,
+                            lr=0.01, lr_milestones=(100,))
+
+    def make_data():
+        return build_synthetic(num_nodes=8, num_steps=400, seq_len=3,
+                               horizon=3, batch_size=16,
+                               reshuffle_each_epoch=True, shuffle_seed=7)
+
+    run_a = RunDir(str(tmp_path / "a"), "SYNTH", snapshot_sources=False,
+                   timestring="fixed")
+    res_a = fit(model_cfg, train_cfg, make_data(), run_a,
+                test_every_epoch=False)
+
+    run_b = RunDir(str(tmp_path / "b"), "SYNTH", snapshot_sources=False,
+                   timestring="fixed")
+    fit(model_cfg, train_cfg, make_data(), run_b, test_every_epoch=False,
+        max_epochs=2)  # "killed" after 2 epochs
+    run_b2 = RunDir(str(tmp_path / "b"), "SYNTH", snapshot_sources=False,
+                    timestring="fixed")  # same dir -> same checkpoint
+    res_b = fit(model_cfg, train_cfg, make_data(), run_b2,
+                test_every_epoch=False, resume=True)
+
+    assert res_b["epochs_run"] == res_a["epochs_run"] == 4
+    np.testing.assert_allclose(res_b["best_val"], res_a["best_val"],
+                               rtol=1e-6)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(res_a["params"])[0],
+            jax.tree_util.tree_flatten_with_path(res_b["params"])[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(ka))
+
+
 def test_fit_end_to_end_reduces_loss(tmp_path):
     model_cfg = MegaCRNConfig(num_nodes=8, rnn_units=8, mem_num=4, mem_dim=8,
                               horizon=3, seq_len=3, cl_decay_steps=50)
