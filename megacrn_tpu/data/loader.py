@@ -25,7 +25,12 @@ class BatchLoader:
         reshuffle_each_epoch: bool = False,
         rng: Optional[np.random.Generator] = None,
         seed: Optional[int] = None,
+        keep_tail: bool = False,
     ):
+        """``keep_tail`` (with ``pad_with_last_sample=False``) yields a short
+        final batch instead of dropping the remainder — torch
+        ``DataLoader(drop_last=False)`` semantics, used by the MegaCRNx
+        harness (model_futurework/traintest_MegaCRNx.py:123-125)."""
         self.batch_size = batch_size
         # Seeded mode: with ``seed`` set and ``set_epoch(e)`` called, the
         # epoch-e permutation is a pure function of (seed, e) — a resumed run
@@ -39,7 +44,11 @@ class BatchLoader:
             xs = np.concatenate([xs, np.repeat(xs[-1:], num_padding, axis=0)], axis=0)
             ys = np.concatenate([ys, np.repeat(ys[-1:], num_padding, axis=0)], axis=0)
         self.size = len(xs)
-        self.num_batch = self.size // batch_size
+        self.keep_tail = keep_tail and not pad_with_last_sample
+        if self.keep_tail:
+            self.num_batch = -(-self.size // batch_size)  # ceil
+        else:
+            self.num_batch = self.size // batch_size
         self.rng = rng or np.random.default_rng()
         self.reshuffle_each_epoch = shuffle and reshuffle_each_epoch
         if shuffle and not reshuffle_each_epoch:
