@@ -44,6 +44,9 @@ def build_parser():
                    default=True)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--synth_steps", type=int, default=2000)
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel mesh axis size (explicit shard_map "
+                        "DP train step when > 1)")
     # trainval_ratio * (1 - val_ratio) = raw-series train fraction
     # (traintest_GTS.py:325: 0.8 * (1 - 0.125) = 0.7)
     p.add_argument("--train_frac", type=float, default=0.7)
@@ -96,9 +99,15 @@ def main(argv=None):
                        patience=args.patience, batch_size=args.batch_size,
                        seed=args.seed)
 
+    mesh = None
+    if args.mesh_data > 1:
+        from megacrn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_data, 1)
+
     run = RunDir(args.save_dir, args.dataset, model_name="GTS")
     result = fit_gts(cfg, tcfg, data, train_feas, knn_prior, run,
-                     max_epochs=args.epochs)
+                     max_epochs=args.epochs, mesh=mesh)
     print(result["test_metrics"])
     return result
 

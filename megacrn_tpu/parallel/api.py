@@ -260,6 +260,68 @@ def make_ring_train_step(
     return jax.jit(mapped, donate_argnums=donate_argnums)
 
 
+def make_gts_mesh_train_step(
+    cfg,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    scaler_mean,
+    scaler_std,
+    node_feas,
+    knn_prior,
+    donate: bool = True,
+) -> Callable:
+    """Data-parallel GTS train step (shard_map over ``data``) — the second
+    model family through the same explicit-collective layer.
+
+    Same global-masked-loss construction as ``make_shardmap_train_step``.
+    GTS specifics that make DP exact without extra collectives:
+
+    * The graph learner's BatchNorm consumes ``node_feas`` — the REPLICATED
+      per-node training series (model/GTS.py:354-356) — not the batch, so
+      every shard computes identical batch statistics and the returned
+      ``bn_state`` is consistent by construction.
+    * ``adj_prob``/BCE graph loss likewise derive only from replicated
+      inputs; the Gumbel coins come from the replicated rng, so all shards
+      sample the SAME graph (required: the graph is global state).
+    """
+    from megacrn_tpu.models import gts
+    from megacrn_tpu.train.gts_loop import bce
+
+    node_feas = jnp.asarray(node_feas)
+    knn_prior = jnp.asarray(knn_prior).reshape(-1)
+
+    def loss_fn(params, bn_state, x, y, batches_seen, rng):
+        out = gts.forward(params, bn_state, x, node_feas, cfg, labels=y,
+                          batches_seen=batches_seen, rng=rng, training=True)
+        y_pred = out.output * scaler_std + scaler_mean
+        y_true = y * scaler_std + scaler_mean
+        num, den = losses.masked_mae_sums(y_pred, y_true)
+        num = jax.lax.psum(num, DATA_AXIS)
+        den = jax.lax.psum(den, DATA_AXIS)
+        pred_loss = num / jnp.maximum(den, 1.0)
+        graph_loss = bce(out.adj_prob.reshape(-1), knn_prior)  # replicated
+        return pred_loss + graph_loss, out.bn_state
+
+    rep = P()
+    bspec = P(DATA_AXIS)
+
+    def step(params, bn_state, opt_state, x, y, batches_seen, rng):
+        rng = jax.random.fold_in(rng, batches_seen.astype(jnp.int32))
+        (loss, bn_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bn_state, x, y, batches_seen, rng)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, bn_state, opt_state, loss
+
+    mapped = shard_map(step, mesh=mesh,
+                       in_specs=(rep, rep, rep, bspec, bspec, rep, rep),
+                       out_specs=(rep, rep, rep, rep), check_rep=False)
+    donate_argnums = (0, 2) if donate else ()
+    return jax.jit(mapped, donate_argnums=donate_argnums)
+
+
 def make_shardmap_eval_forward(model_cfg: MegaCRNConfig, mesh: Mesh,
                                road_supports=None) -> Callable:
     """Data-parallel eval forward via shard_map (any backend incl. Pallas)."""

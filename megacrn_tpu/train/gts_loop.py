@@ -102,9 +102,11 @@ def make_gts_eval_step(cfg: GTSConfig, scaler_mean, scaler_std, node_feas,
 
 def fit_gts(cfg: GTSConfig, train_cfg: TrainConfig, data: Dict,
             node_feas: np.ndarray, knn_prior: np.ndarray, run: RunDir,
-            max_epochs=None) -> Dict:
+            max_epochs=None, mesh=None) -> Dict:
     """data: train/val/test BatchLoaders + scaler_mean/std (as in
-    megacrn_tpu.train.loop.fit)."""
+    megacrn_tpu.train.loop.fit). ``mesh``: optional jax.sharding.Mesh —
+    trains data-parallel through the explicit shard_map step
+    (megacrn_tpu.parallel.api.make_gts_mesh_train_step)."""
     from megacrn_tpu.train.steps import summarize_eval
 
     logger = run.get_logger()
@@ -122,8 +124,20 @@ def fit_gts(cfg: GTSConfig, train_cfg: TrainConfig, data: Dict,
     opt_state = optimizer.init(params)
 
     mean, std = data.get("scaler_mean", 0.0), data.get("scaler_std", 1.0)
-    train_step = make_gts_train_step(cfg, train_cfg, optimizer, mean, std,
-                                     node_feas, knn_prior)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from megacrn_tpu.parallel.api import make_gts_mesh_train_step
+        from megacrn_tpu.parallel.mesh import DATA_AXIS
+
+        train_step = make_gts_mesh_train_step(
+            cfg, train_cfg, optimizer, mesh, mean, std, node_feas, knn_prior)
+        dp = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+        place = lambda a: jax.device_put(a, dp)
+    else:
+        train_step = make_gts_train_step(cfg, train_cfg, optimizer, mean,
+                                         std, node_feas, knn_prior)
+        place = lambda a: a
     eval_step = make_gts_eval_step(cfg, mean, std, node_feas, knn_prior)
 
     def evaluate(loader):
@@ -143,7 +157,7 @@ def fit_gts(cfg: GTSConfig, train_cfg: TrainConfig, data: Dict,
         for x, y in data["train_loader"]:
             x0, y0 = _prepare(x, y, cfg)
             params, bn_state, opt_state, loss = train_step(
-                params, bn_state, opt_state, x0, y0,
+                params, bn_state, opt_state, place(x0), place(y0),
                 jnp.float32(batches_seen), k_epoch)
             tl.append(loss)
             batches_seen += 1

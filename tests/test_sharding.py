@@ -386,3 +386,78 @@ def test_fit_with_mesh_road_sparse_end_to_end(tmp_path):
     result = fit(model_cfg, train_cfg, data, run, test_every_epoch=False,
                  mesh=mesh, road_supports=packs)
     assert np.isfinite(result["best_val"]) and result["epochs_run"] == 1
+
+
+def test_gts_mesh_train_step_matches_single_device():
+    """GTS (the second model family) through the explicit shard_map DP
+    layer: mesh update must equal the single-device update, including the
+    global masked-loss normalization with zero-masked targets concentrated
+    in one batch shard."""
+    from megacrn_tpu.config import GTSConfig
+    from megacrn_tpu.data.graph_prior import cosine_knn_graph
+    from megacrn_tpu.parallel.api import make_gts_mesh_train_step
+    from megacrn_tpu.train.gts_loop import make_gts_train_step
+
+    cfg = GTSConfig(num_nodes=10, input_dim=2, output_dim=1, horizon=3,
+                    seq_len=3, rnn_units=8, max_diffusion_step=2,
+                    train_series_len=60, knn_k=3)
+    from megacrn_tpu.models import gts
+
+    params, bn_state = gts.init_params(jax.random.PRNGKey(5), cfg)
+    feas = np.asarray(jax.random.normal(jax.random.PRNGKey(6), (60, 10)),
+                      np.float32)
+    knn = cosine_knn_graph(feas, 3)
+    import optax
+
+    opt = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(0.005,
+                                                                 eps=1e-3))
+    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    x = np.asarray(jax.random.normal(ks[0], (8, 3, 10, 2)), np.float32)
+    y = np.array(jax.random.normal(ks[1], (8, 3, 10, 1)), np.float32)
+    y[:3] = 0.0  # zero-masked rows land entirely in the first shard
+    rng = jax.random.PRNGKey(8)
+    b = 5.0
+
+    base = make_gts_train_step(cfg, TCFG, opt, 1.5, 2.0, feas, knn)
+    p1, bn1, _, loss1 = base(params, bn_state, opt.init(params), x, y, b, rng)
+
+    mesh = make_mesh(2, 4)
+    step = make_gts_mesh_train_step(cfg, TCFG, opt, mesh, 1.5, 2.0, feas,
+                                    knn, donate=False)
+    p2, bn2, _, loss2 = step(params, bn_state, opt.init(params), x, y,
+                             jnp.float32(b), rng)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-4)
+    for a, c in zip(jax.tree_util.tree_leaves(bn1),
+                    jax.tree_util.tree_leaves(bn2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_fit_gts_with_mesh_end_to_end(tmp_path):
+    """Full GTS harness training data-parallel on the virtual mesh."""
+    from megacrn_tpu.config import GTSConfig
+    from megacrn_tpu.data.datasets import build_from_series
+    from megacrn_tpu.data.graph_prior import cosine_knn_graph
+    from megacrn_tpu.data.synthetic import synthetic_speed_series
+    from megacrn_tpu.train.gts_loop import fit_gts
+    from megacrn_tpu.train.logs import RunDir
+
+    values, index = synthetic_speed_series(300, 10)
+    data = build_from_series(values, index, seq_len=4, horizon=4,
+                             batch_size=16)
+    train_feas = values[:210]
+    knn = cosine_knn_graph(train_feas, 3)
+    cfg = GTSConfig(num_nodes=10, input_dim=2, output_dim=1, horizon=4,
+                    seq_len=4, rnn_units=8, max_diffusion_step=2,
+                    train_series_len=210, knn_k=3)
+    tcfg = TrainConfig(batch_size=16, epochs=2, patience=5, seed=0, lr=0.005)
+    run = RunDir(str(tmp_path), "SYNTH", model_name="GTS",
+                 snapshot_sources=False)
+    result = fit_gts(cfg, tcfg, data, train_feas, knn, run, max_epochs=2,
+                     mesh=make_mesh(2, 4))
+    assert np.isfinite(result["best_val"])
+    assert result["test_metrics"]["mae"] < 30
