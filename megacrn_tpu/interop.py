@@ -45,7 +45,13 @@ def flat_from_torch_state_dict(sd: Mapping, num_layers: int) -> Dict[str, np.nda
     proj.0.*)."""
 
     def npy(v):
-        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        # Deep copy: .numpy() ALIASES the live tensor's memory, and jax on
+        # CPU zero-copies aligned numpy buffers — without the copy a later
+        # in-place torch optimizer step would silently mutate the converted
+        # params.
+        if hasattr(v, "detach"):
+            return np.array(v.detach().cpu().numpy(), copy=True)
+        return np.array(v, copy=True)
 
     flat = {}
     for name in ["Memory", "Wq", "We1", "We2"]:
@@ -80,7 +86,10 @@ def gts_params_from_torch_state_dict(sd: Mapping, cfg) -> Dict:
     """
 
     def npy(v):
-        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        # Deep copy — see flat_from_torch_state_dict.
+        if hasattr(v, "detach"):
+            return np.array(v.detach().cpu().numpy(), copy=True)
+        return np.array(v, copy=True)
 
     def arr(k):
         return jnp.asarray(npy(sd[k]), jnp.float32)

@@ -44,6 +44,7 @@ from megacrn_tpu.models import megacrn
 from megacrn_tpu.ops import losses
 from megacrn_tpu.parallel.mesh import DATA_AXIS, NODE_AXIS, make_shard_fn
 from megacrn_tpu.train.steps import composite_loss
+from megacrn_tpu.ops.scaling import inverse_transform
 
 
 def make_sharded_train_step(
@@ -147,8 +148,8 @@ def make_shardmap_train_step(
                               batches_seen=batches_seen, rng=rng,
                               training=True, road_supports=road_supports)
         if train_cfg.pred_loss == "masked_mae_inv":
-            y_pred = out.output * scaler_std + scaler_mean
-            y_true = y * scaler_std + scaler_mean
+            y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
+            y_true = inverse_transform(y, scaler_std, scaler_mean)
             num, den = losses.masked_mae_sums(y_pred, y_true)
             num = jax.lax.psum(num, DATA_AXIS)
             den = jax.lax.psum(den, DATA_AXIS)
@@ -226,8 +227,8 @@ def make_ring_train_step(
                               batches_seen=batches_seen, rng=rng,
                               training=True, ring_axis=NODE_AXIS)
         if train_cfg.pred_loss == "masked_mae_inv":
-            y_pred = out.output * scaler_std + scaler_mean
-            y_true = y * scaler_std + scaler_mean
+            y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
+            y_true = inverse_transform(y, scaler_std, scaler_mean)
             num, den = losses.masked_mae_sums(y_pred, y_true)
             num = jax.lax.psum(num, axes)
             den = jax.lax.psum(den, axes)
@@ -294,8 +295,8 @@ def make_gts_mesh_train_step(
     def loss_fn(params, bn_state, x, y, batches_seen, rng):
         out = gts.forward(params, bn_state, x, node_feas, cfg, labels=y,
                           batches_seen=batches_seen, rng=rng, training=True)
-        y_pred = out.output * scaler_std + scaler_mean
-        y_true = y * scaler_std + scaler_mean
+        y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
+        y_true = inverse_transform(y, scaler_std, scaler_mean)
         num, den = losses.masked_mae_sums(y_pred, y_true)
         num = jax.lax.psum(num, DATA_AXIS)
         den = jax.lax.psum(den, DATA_AXIS)

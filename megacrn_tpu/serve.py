@@ -22,6 +22,7 @@ import numpy as np
 
 from megacrn_tpu.config import MegaCRNConfig
 from megacrn_tpu.models import megacrn
+from megacrn_tpu.ops.scaling import inverse_transform
 
 
 class Predictor:
@@ -51,7 +52,7 @@ class Predictor:
     def _forward(params, x, y_cov, mean, std, cfg):
         x = x.at[..., 0].set((x[..., 0] - mean) / std)
         out = megacrn.forward(params, x[..., : cfg.input_dim], y_cov, cfg)
-        return out.output * std + mean
+        return inverse_transform(out.output, std, mean)
 
     @classmethod
     def from_checkpoint(cls, path: str, cfg: MegaCRNConfig,

@@ -22,6 +22,7 @@ from megacrn_tpu.models import gts
 from megacrn_tpu.ops import losses
 from megacrn_tpu.train import checkpoint as ckpt
 from megacrn_tpu.train.logs import RunDir, echo_hparams
+from megacrn_tpu.ops.scaling import inverse_transform
 
 
 def bce(pred_probs: jnp.ndarray, targets: jnp.ndarray,
@@ -49,8 +50,8 @@ def make_gts_train_step(cfg: GTSConfig, train_cfg: TrainConfig,
     def loss_fn(params, bn_state, x, y, batches_seen, rng):
         out = gts.forward(params, bn_state, x, node_feas, cfg, labels=y,
                           batches_seen=batches_seen, rng=rng, training=True)
-        y_pred = out.output * scaler_std + scaler_mean
-        y_true = y * scaler_std + scaler_mean
+        y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
+        y_true = inverse_transform(y, scaler_std, scaler_mean)
         pred_loss = losses.masked_mae_loss(y_pred, y_true)
         graph_loss = bce(out.adj_prob.reshape(-1), knn_prior)
         return pred_loss + graph_loss, out.bn_state
@@ -78,8 +79,8 @@ def make_gts_eval_step(cfg: GTSConfig, scaler_mean, scaler_std, node_feas,
     def eval_step(params, bn_state, x, y, rng):
         out = gts.forward(params, bn_state, x, node_feas, cfg,
                           rng=rng, training=False)
-        y_pred = out.output * scaler_std + scaler_mean
-        y_true = y * scaler_std + scaler_mean
+        y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
+        y_true = inverse_transform(y, scaler_std, scaler_mean)
         pred_loss = losses.masked_mae_loss(y_pred, y_true)
         # Eval-side quirk: sigmoid over the softmax probs (traintest_GTS:119).
         graph_loss = bce(jax.nn.sigmoid(out.adj_prob.reshape(-1)), knn_prior)

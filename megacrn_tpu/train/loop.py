@@ -68,6 +68,7 @@ def fit(
     mesh=None,
     ckpt_backend: str = "npz",
     road_supports=None,
+    initial_params=None,
 ) -> Dict:
     """Train MegaCRN with the reference protocol.
 
@@ -97,6 +98,10 @@ def fit(
     params = megacrn.init_params(k_init, model_cfg)
     if train_cfg.reinit_xavier_uniform:
         params = _reinit_xavier_uniform(params, k_reinit)
+    if initial_params is not None:
+        # Injected start point (e.g. converted from a reference torch
+        # state_dict for train-to-train parity runs, megacrn_tpu.interop).
+        params = jax.tree_util.tree_map(jnp.asarray, initial_params)
     logger.info("param_count", megacrn.param_count(params))
 
     steps_per_epoch = len(data["train_loader"])

@@ -39,6 +39,7 @@ from megacrn_tpu.models import megacrnx
 from megacrn_tpu.ops import losses, metrics
 from megacrn_tpu.train import checkpoint as ckpt
 from megacrn_tpu.train.logs import RunDir, echo_hparams
+from megacrn_tpu.ops.scaling import inverse_transform
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,7 +62,7 @@ def _component_losses(out: megacrnx.MegaCRNxOutput, y_raw: jnp.ndarray,
     """(loss1, loss2, loss3) of traintest_MegaCRNx.py:146-151: prediction
     loss on the inverse-transformed scale vs the RAW target, plus the
     detached triplet/compact memory losses."""
-    y_pred = out.output * std + mean
+    y_pred = inverse_transform(out.output, std, mean)
     if loss_name == "MaskMAE":
         loss1 = losses.masked_mae(y_pred, y_raw, null_val=1e-3)
     elif loss_name == "MAE":
@@ -123,7 +124,7 @@ def make_megacrnx_eval_step(
         l1, l2, l3 = _component_losses(out, y, train_cfg.loss,
                                        scaler_mean, scaler_std)
         total = l1 + train_cfg.lamb * l2 + train_cfg.lamb1 * l3
-        return (total, l1, l2, l3), out.output * scaler_std + scaler_mean
+        return (total, l1, l2, l3), inverse_transform(out.output, scaler_std, scaler_mean)
 
     return step
 

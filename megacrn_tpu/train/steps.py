@@ -22,13 +22,14 @@ import optax
 from megacrn_tpu.config import MegaCRNConfig, TrainConfig
 from megacrn_tpu.models import megacrn
 from megacrn_tpu.ops import losses
+from megacrn_tpu.ops.scaling import inverse_transform
 
 
 def composite_loss(out: megacrn.MegaCRNOutput, y: jnp.ndarray,
                    train_cfg: TrainConfig, scaler_mean, scaler_std):
     if train_cfg.pred_loss == "masked_mae_inv":
-        y_pred = out.output * scaler_std + scaler_mean
-        y_true = y * scaler_std + scaler_mean
+        y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
+        y_true = inverse_transform(y, scaler_std, scaler_mean)
         pred_loss = losses.masked_mae_loss(y_pred, y_true)
     elif train_cfg.pred_loss == "l1_normalized":
         pred_loss = jnp.mean(jnp.abs(out.output - y))  # nn.L1Loss parity
@@ -103,7 +104,7 @@ def make_eval_step(
                               road_supports=road_supports)
         m = eval_metrics(out, y, train_cfg, scaler_mean, scaler_std, steps)
         if return_predictions:
-            return m, out.output * scaler_std + scaler_mean
+            return m, inverse_transform(out.output, scaler_std, scaler_mean)
         return m
 
     return eval_step
@@ -116,8 +117,8 @@ def eval_metrics(out: megacrn.MegaCRNOutput, y: jnp.ndarray,
     (model/traintest_MegaCRN.py:60-86), as a pure function of the forward
     output — shared by the single-device eval step and the mesh eval path
     (which runs the forward through shard_map and the metrics via GSPMD)."""
-    y_pred = out.output * scaler_std + scaler_mean
-    y_true = y * scaler_std + scaler_mean
+    y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
+    y_true = inverse_transform(y, scaler_std, scaler_mean)
     loss = composite_loss(out, y, train_cfg, scaler_mean, scaler_std)
     m = {
         "loss": loss,
