@@ -158,9 +158,13 @@ def build_road_supports(args, model_cfg):
     """Wire the road adjacency into the chosen sparse backend's graph
     constant: ``--adj_path`` (expy-tky_adj01.npy semantics) or a synthetic
     stand-in -> dual-random-walk supports -> BlockELL packs (road_sparse) /
-    edge BlockPattern (sparse_meta). Returns None for the dense backends."""
+    edge BlockPattern (sparse_meta). Returns ``(fit_supports,
+    eval_supports)`` — identical except with ``--mesh_node > 1`` on the
+    road_sparse backend, where fit gets node-partitioned ShardedRoadPacks
+    and the single-device final evals keep the plain packs. ``(None, None)``
+    for the dense backends."""
     if model_cfg.graph_backend not in ("road_sparse", "sparse_meta"):
-        return None
+        return None, None
     import os
 
     import numpy as np
@@ -192,19 +196,26 @@ def build_road_supports(args, model_cfg):
                                        seed=0)
 
     if model_cfg.graph_backend == "road_sparse":
-        from megacrn_tpu.kernels.spmm import to_block_ell, transpose_block_ell
+        from megacrn_tpu.kernels.spmm import (shard_road_packs, to_block_ell,
+                                              transpose_block_ell)
         from megacrn_tpu.ops.graph import dual_random_walk_supports
 
         s1, s2 = dual_random_walk_supports(adj)
-        return [(to_block_ell(s1), transpose_block_ell(s1)),
-                (to_block_ell(s2), transpose_block_ell(s2))]
+        packs = [(to_block_ell(s1), transpose_block_ell(s1)),
+                 (to_block_ell(s2), transpose_block_ell(s2))]
+        if getattr(args, "mesh_node", 1) > 1:
+            # Node-partitioned packs for fit: each device owns its row
+            # block (parallel.api.make_road_node_train_step).
+            return shard_road_packs([s1, s2], args.mesh_node), packs
+        return packs, packs
     # sparse_meta: learned meta-graph restricted to the symmetrised edge
     # pattern (+ self loops, so every row has at least one edge).
     from megacrn_tpu.kernels.sparse_graph import build_block_pattern
 
     pat = ((adj != 0) | (adj.T != 0)).astype(np.float32)
     np.fill_diagonal(pat, 1.0)
-    return build_block_pattern(pat)
+    pattern = build_block_pattern(pat)
+    return pattern, pattern
 
 
 def _make_concat_final_eval(model_cfg, data, road_supports=None):
@@ -262,7 +273,7 @@ def main(argv=None):
     from megacrn_tpu.train.loop import fit
 
     # Fail fast on a missing adjacency before any data loading.
-    road_supports = build_road_supports(args, model_cfg)
+    road_supports, eval_supports = build_road_supports(args, model_cfg)
 
     final_eval_fn = None
     if args.dataset == "SYNTH":
@@ -291,10 +302,10 @@ def main(argv=None):
     run = RunDir(args.save_dir, args.dataset)
     if args.dataset.startswith("EXPYTKY"):
         final_eval_fn = _make_expytky_final_eval(model_cfg, data,
-                                                 road_supports)
+                                                 eval_supports)
     elif args.eval_aggregation == "concat":
         final_eval_fn = _make_concat_final_eval(model_cfg, data,
-                                                road_supports)
+                                                eval_supports)
     result = fit(model_cfg, train_cfg, data, run, resume=args.resume,
                  test_every_epoch=args.test_every_epoch,
                  final_eval_fn=final_eval_fn, mesh=mesh,

@@ -113,6 +113,9 @@ def forward(
         pattern = road_supports
         tiles = sparse_meta_graph(mem["Memory"], mem["We1"], mem["We2"],
                                   pattern)
+        # Node-partition the learned graph on a mesh: tiles row-blocked over
+        # the node axis (GSPMD inserts the x gathers / dtile scatter-adds).
+        tiles = tuple(shard_fn("tiles", t) for t in tiles)
         supports = tiles
 
         def aggregate(tiles_, x_, k_):
@@ -129,7 +132,17 @@ def forward(
         if len(road_supports) != cfg.num_supports:
             raise ValueError("len(road_supports) != cfg.num_supports")
         supports = road_supports
-        aggregate = cheb_aggregate_sparse
+        if ring_axis is not None:
+            # Node-partitioned: per-device row-block packs (built by
+            # kernels.spmm.shard_road_packs, entering via shard_map
+            # in_specs), x node-blocks all-gathered over the node axis.
+            from megacrn_tpu.parallel.ring import cheb_aggregate_sparse_sharded
+
+            def aggregate(packs_, x_, k_):
+                return cheb_aggregate_sparse_sharded(packs_, x_, k_,
+                                                     ring_axis)
+        else:
+            aggregate = cheb_aggregate_sparse
     elif cfg.graph_backend == "dense_ring" and ring_axis is not None:
         # Explicit-collective node partition: per-device support row-blocks,
         # aggregation = ring ppermute schedule (communication hidden under

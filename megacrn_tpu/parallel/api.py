@@ -113,6 +113,31 @@ def make_sharded_eval_forward(model_cfg: MegaCRNConfig, mesh: Mesh,
     return fwd
 
 
+def _global_masked_loss(out, y, train_cfg, scaler_mean, scaler_std, axes):
+    """Composite objective with GLOBAL normalisation inside shard_map: the
+    masked-MAE numerator/denominator are psum'd over ``axes`` before the one
+    division, so shards with uneven mask density still reproduce the exact
+    single-device masked mean; aux losses are plain means, pmean'd."""
+    if train_cfg.pred_loss == "masked_mae_inv":
+        y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
+        y_true = inverse_transform(y, scaler_std, scaler_mean)
+        num, den = losses.masked_mae_sums(y_pred, y_true)
+        num = jax.lax.psum(num, axes)
+        den = jax.lax.psum(den, axes)
+        # den is a mask count (0 or >= 1); num == 0 whenever den == 0, so
+        # the max() guard yields exactly masked_mae_loss's 0-or-ratio
+        # without a NaN-producing where branch in the backward pass.
+        pred_loss = num / jnp.maximum(den, 1.0)
+    elif train_cfg.pred_loss == "l1_normalized":
+        # Plain mean over equal-size shards: pmean IS the global mean.
+        pred_loss = jax.lax.pmean(jnp.mean(jnp.abs(out.output - y)), axes)
+    else:
+        raise ValueError(f"unknown pred_loss {train_cfg.pred_loss!r}")
+    aux = losses.megacrn_aux_losses(out.query, out.pos, out.neg,
+                                    train_cfg.lamb, train_cfg.lamb1)
+    return pred_loss + jax.lax.pmean(aux, axes)
+
+
 def make_shardmap_train_step(
     model_cfg: MegaCRNConfig,
     train_cfg: TrainConfig,
@@ -147,25 +172,8 @@ def make_shardmap_train_step(
         out = megacrn.forward(params, x, y_cov, model_cfg, labels=y,
                               batches_seen=batches_seen, rng=rng,
                               training=True, road_supports=road_supports)
-        if train_cfg.pred_loss == "masked_mae_inv":
-            y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
-            y_true = inverse_transform(y, scaler_std, scaler_mean)
-            num, den = losses.masked_mae_sums(y_pred, y_true)
-            num = jax.lax.psum(num, DATA_AXIS)
-            den = jax.lax.psum(den, DATA_AXIS)
-            # den is a mask count (0 or >= 1); num == 0 whenever den == 0,
-            # so the max() guard yields exactly masked_mae_loss's 0-or-ratio
-            # without a NaN-producing where branch in the backward pass.
-            pred_loss = num / jnp.maximum(den, 1.0)
-        elif train_cfg.pred_loss == "l1_normalized":
-            # Plain mean over equal-size shards: pmean IS the global mean.
-            pred_loss = jax.lax.pmean(
-                jnp.mean(jnp.abs(out.output - y)), DATA_AXIS)
-        else:
-            raise ValueError(f"unknown pred_loss {train_cfg.pred_loss!r}")
-        aux = losses.megacrn_aux_losses(out.query, out.pos, out.neg,
-                                        train_cfg.lamb, train_cfg.lamb1)
-        return pred_loss + jax.lax.pmean(aux, DATA_AXIS)
+        return _global_masked_loss(out, y, train_cfg, scaler_mean,
+                                   scaler_std, DATA_AXIS)
 
     rep = P()
     bspec = P(DATA_AXIS)  # leading batch axis; rest replicated
@@ -226,21 +234,8 @@ def make_ring_train_step(
         out = megacrn.forward(params, x, y_cov, model_cfg, labels=y,
                               batches_seen=batches_seen, rng=rng,
                               training=True, ring_axis=NODE_AXIS)
-        if train_cfg.pred_loss == "masked_mae_inv":
-            y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
-            y_true = inverse_transform(y, scaler_std, scaler_mean)
-            num, den = losses.masked_mae_sums(y_pred, y_true)
-            num = jax.lax.psum(num, axes)
-            den = jax.lax.psum(den, axes)
-            pred_loss = num / jnp.maximum(den, 1.0)
-        elif train_cfg.pred_loss == "l1_normalized":
-            pred_loss = jax.lax.pmean(
-                jnp.mean(jnp.abs(out.output - y)), axes)
-        else:
-            raise ValueError(f"unknown pred_loss {train_cfg.pred_loss!r}")
-        aux = losses.megacrn_aux_losses(out.query, out.pos, out.neg,
-                                        train_cfg.lamb, train_cfg.lamb1)
-        return pred_loss + jax.lax.pmean(aux, axes)
+        return _global_masked_loss(out, y, train_cfg, scaler_mean,
+                                   scaler_std, axes)
 
     rep = P()
     bspec = P(DATA_AXIS, None, NODE_AXIS, None)  # (B, T, N, C)
@@ -259,6 +254,119 @@ def make_ring_train_step(
                        out_specs=(rep, rep, rep), check_rep=False)
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(mapped, donate_argnums=donate_argnums)
+
+
+def make_road_node_train_step(
+    model_cfg: MegaCRNConfig,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    sharded_packs,
+    scaler_mean: float = 0.0,
+    scaler_std: float = 1.0,
+    donate: bool = True,
+) -> Callable:
+    """Node-partitioned + data-parallel train step for the Pallas
+    ``road_sparse`` backend.
+
+    The ``dense_ring`` step materialises per-device row-blocks of the dense
+    learned supports; here the supports are STATIC sparse road matrices, so
+    each device instead holds the BlockELL packs of its node rows
+    (``kernels.spmm.shard_road_packs``), entering through shard_map in_specs
+    (leading device dim split over ``node``) — packs are traced per-device
+    arguments, not replicated closure constants. Aggregation all-gathers the
+    x node-blocks over the node axis and runs the SpMM kernel on local rows
+    only (``parallel.ring.cheb_aggregate_sparse_sharded``); the tiled
+    all_gather's VJP contributes the psum_scatter for dx.
+
+    Loss/gradient construction is identical to ``make_ring_train_step``.
+    Returns jitted ``(params, opt_state, x, y, y_cov, batches_seen, rng) ->
+    (params, opt_state, loss)``; batches must be placed with ``shard_batch``.
+    """
+    from megacrn_tpu.kernels.spmm import ShardedRoadPacks, local_packs
+
+    if model_cfg.graph_backend != "road_sparse":
+        raise ValueError("make_road_node_train_step requires "
+                         "graph_backend='road_sparse'")
+    if not isinstance(sharded_packs, ShardedRoadPacks):
+        raise ValueError("sharded_packs must come from "
+                         "kernels.spmm.shard_road_packs")
+    axes = (DATA_AXIS, NODE_AXIS)
+
+    def loss_fn(params, packs_arrays, x, y, y_cov, batches_seen, rng):
+        packs = local_packs(packs_arrays)
+        out = megacrn.forward(params, x, y_cov, model_cfg, labels=y,
+                              batches_seen=batches_seen, rng=rng,
+                              training=True, road_supports=packs,
+                              ring_axis=NODE_AXIS)
+        return _global_masked_loss(out, y, train_cfg, scaler_mean,
+                                   scaler_std, axes)
+
+    rep = P()
+    bspec = P(DATA_AXIS, None, NODE_AXIS, None)  # (B, T, N, C)
+    # (S, D, ...) pack arrays: device dim over node, rest local. The spec
+    # container must flatten to the same pytree structure (incl. the static
+    # dims in aux), so it is built with the real n_loc/n_full.
+    pspec = ShardedRoadPacks(
+        *(P(None, NODE_AXIS) for _ in range(6)),
+        n_loc=sharded_packs.n_loc, n_full=sharded_packs.n_full)
+
+    def step(params, opt_state, packs_arrays, x, y, y_cov, batches_seen,
+             rng):
+        rng = jax.random.fold_in(rng, batches_seen.astype(jnp.int32))
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, packs_arrays, x, y, y_cov, batches_seen, rng)
+        grads = jax.lax.pmean(grads, axes)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    mapped = shard_map(step, mesh=mesh,
+                       in_specs=(rep, rep, pspec, bspec, bspec, bspec, rep,
+                                 rep),
+                       out_specs=(rep, rep, rep), check_rep=False)
+    donate_argnums = (0, 1) if donate else ()
+    jitted = jax.jit(mapped, donate_argnums=donate_argnums)
+
+    def run(params, opt_state, x, y, y_cov, batches_seen, rng):
+        return jitted(params, opt_state, sharded_packs, x, y, y_cov,
+                      batches_seen, rng)
+
+    return run
+
+
+def make_road_node_eval_forward(model_cfg: MegaCRNConfig, mesh: Mesh,
+                                sharded_packs) -> Callable:
+    """Eval forward for the node-partitioned road_sparse path: batch over
+    ``data``, nodes over ``node``, per-device row-block packs. Outputs come
+    back as global arrays (metrics run on them outside)."""
+    from megacrn_tpu.kernels.spmm import ShardedRoadPacks, local_packs
+
+    if not isinstance(sharded_packs, ShardedRoadPacks):
+        raise ValueError("sharded_packs must come from "
+                         "kernels.spmm.shard_road_packs")
+
+    def fwd(params, packs_arrays, x, y_cov):
+        return megacrn.forward(params, x, y_cov, model_cfg,
+                               road_supports=local_packs(packs_arrays),
+                               ring_axis=NODE_AXIS)
+
+    rep = P()
+    bspec = P(DATA_AXIS, None, NODE_AXIS, None)  # (B, T, N, C)
+    nspec = P(DATA_AXIS, NODE_AXIS, None)  # (B, N, mem_dim)
+    pspec = ShardedRoadPacks(
+        *(P(None, NODE_AXIS) for _ in range(6)),
+        n_loc=sharded_packs.n_loc, n_full=sharded_packs.n_full)
+    mapped = shard_map(
+        fwd, mesh=mesh, in_specs=(rep, pspec, bspec, bspec),
+        out_specs=megacrn.MegaCRNOutput(bspec, nspec, nspec, nspec, nspec),
+        check_rep=False)
+    jitted = jax.jit(mapped)
+
+    def run(params, x, y_cov):
+        return jitted(params, sharded_packs, x, y_cov)
+
+    return run
 
 
 def make_gts_mesh_train_step(

@@ -74,6 +74,10 @@ def make_shard_fn(mesh: Mesh):
     specs = {
         "supports": P(None, NODE_AXIS, None),  # (S, N, N) row-blocked
         "state": P(DATA_AXIS, NODE_AXIS, None),  # (B, N, H)
+        # sparse_meta learned tiles (nblk, R, 128, 128): row-block dim over
+        # node — the block-sparse aggregation partitions by output rows
+        # instead of replicating the learned graph.
+        "tiles": P(NODE_AXIS, None, None, None),
     }
 
     def shard_fn(kind, t):

@@ -108,3 +108,37 @@ def make_ring_aggregate(mesh: Mesh, node_axis: str = "node",
         out_specs=P(data_axis, node_axis, None),
     )
     return jax.jit(fn)
+
+
+def cheb_aggregate_sparse_sharded(packs, x: jnp.ndarray, cheb_k: int,
+                                  axis_name: str) -> jnp.ndarray:
+    """Node-partitioned Chebyshev stack over STATIC sparse road supports
+    (inside shard_map): each device holds the row-block BlockELL packs of its
+    nodes (``kernels.spmm.shard_road_packs``), all-gathers the x node-blocks
+    over the node axis (rides ICI), and runs the Pallas SpMM only on its
+    rows. The Chebyshev recursion needs full-length inputs, so intermediate
+    terms are re-gathered (cheb_k - 2 extra gathers per support); the stacked
+    output stays node-local. Autodiff of the tiled all_gather inserts the
+    psum_scatter for dx; dA = 0 by the SpMM custom VJP.
+
+    packs: per-device [(BlockELL (n_loc x N), BlockELL_t (N x n_loc)), ...];
+    x: (B, n_loc, C) local node-block. Returns (B, n_loc, S*cheb_k, C).
+    """
+    from megacrn_tpu.kernels.spmm import spmm_batched
+
+    def gather(t):  # (B, n_loc, C) -> (B, N, C)
+        return jax.lax.all_gather(t, axis_name, axis=1, tiled=True)
+
+    x_full = gather(x)
+    terms = []
+    for pack, pack_t in packs:
+        t_prev_l = x
+        t_cur_l = spmm_batched(pack, pack_t, x_full)
+        terms.append(t_prev_l)
+        terms.append(t_cur_l)
+        for _ in range(2, cheb_k):
+            t_cur_f = gather(t_cur_l)
+            t_prev_l, t_cur_l = t_cur_l, (
+                2.0 * spmm_batched(pack, pack_t, t_cur_f) - t_prev_l)
+            terms.append(t_cur_l)
+    return jnp.stack(terms, axis=2)

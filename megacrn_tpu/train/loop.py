@@ -122,15 +122,28 @@ def fit(
                 model_cfg, train_cfg, optimizer, mesh, mean, std)
             place_batch = lambda arrays: shard_batch(arrays, mesh)
         elif model_cfg.graph_backend == "road_sparse":
-            # Pallas custom call: explicit DP shard_map, replicated params.
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from megacrn_tpu.kernels.spmm import ShardedRoadPacks
 
-            train_step = make_shardmap_train_step(
-                model_cfg, train_cfg, optimizer, mesh, mean, std,
-                road_supports=road_supports)
-            dp = NamedSharding(mesh, P("data"))
-            place_batch = lambda arrays: jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, dp), arrays)
+            if isinstance(road_supports, ShardedRoadPacks):
+                # Node-partitioned + DP: per-device row-block packs, x
+                # gathered over the node axis inside shard_map.
+                from megacrn_tpu.parallel.api import make_road_node_train_step
+
+                train_step = make_road_node_train_step(
+                    model_cfg, train_cfg, optimizer, mesh, road_supports,
+                    mean, std)
+                place_batch = lambda arrays: shard_batch(arrays, mesh)
+            else:
+                # Pallas custom call: explicit DP shard_map, replicated
+                # params and graph.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                train_step = make_shardmap_train_step(
+                    model_cfg, train_cfg, optimizer, mesh, mean, std,
+                    road_supports=road_supports)
+                dp = NamedSharding(mesh, P("data"))
+                place_batch = lambda arrays: jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, dp), arrays)
         else:
             params = shard_params(params, mesh)
             opt_state = optimizer.init(params)
@@ -144,13 +157,19 @@ def fit(
                                      donate=True)
         place_batch = lambda arrays: arrays
     if mesh is not None and model_cfg.graph_backend == "road_sparse":
-        # Data-parallel eval: forward through shard_map (Pallas kernel runs
-        # per-device on its batch shard), metrics on the sharded outputs.
-        from megacrn_tpu.parallel.api import make_shardmap_eval_forward
+        # Mesh eval: forward through shard_map (Pallas kernel runs
+        # per-device on its batch/node shard), metrics on the outputs.
+        from megacrn_tpu.kernels.spmm import ShardedRoadPacks
+        from megacrn_tpu.parallel.api import (make_road_node_eval_forward,
+                                              make_shardmap_eval_forward)
         from megacrn_tpu.train.steps import _metric_steps, eval_metrics
 
-        eval_fwd = make_shardmap_eval_forward(model_cfg, mesh,
-                                              road_supports=road_supports)
+        if isinstance(road_supports, ShardedRoadPacks):
+            eval_fwd = make_road_node_eval_forward(model_cfg, mesh,
+                                                   road_supports)
+        else:
+            eval_fwd = make_shardmap_eval_forward(model_cfg, mesh,
+                                                  road_supports=road_supports)
         msteps = _metric_steps(model_cfg.horizon)
         metrics_fn = jax.jit(lambda out, y: eval_metrics(
             out, y, train_cfg, mean, std, msteps))

@@ -461,3 +461,145 @@ def test_fit_gts_with_mesh_end_to_end(tmp_path):
                      mesh=make_mesh(2, 4))
     assert np.isfinite(result["best_val"])
     assert result["test_metrics"]["mae"] < 30
+
+
+def _road_setup(n, avg_degree, seed):
+    from megacrn_tpu.data.synthetic import synthetic_road_adjacency
+    from megacrn_tpu.kernels.spmm import to_block_ell, transpose_block_ell
+    from megacrn_tpu.ops.graph import dual_random_walk_supports
+
+    adj = synthetic_road_adjacency(n, avg_degree=avg_degree, seed=seed)
+    s1, s2 = dual_random_walk_supports(adj)
+    packs = [(to_block_ell(s1), transpose_block_ell(s1)),
+             (to_block_ell(s2), transpose_block_ell(s2))]
+    return [s1, s2], packs
+
+
+def _assert_node_road_parity(n, t, units, batch, avg_degree):
+    """Node-partitioned road_sparse step (per-device row packs + all_gather)
+    vs single-device math."""
+    from megacrn_tpu.kernels.spmm import shard_road_packs
+    from megacrn_tpu.parallel.api import make_road_node_train_step
+
+    cfg = MegaCRNConfig(num_nodes=n, rnn_units=units, mem_num=4,
+                        mem_dim=units, horizon=t, seq_len=t,
+                        graph_backend="road_sparse")
+    dense_supports, packs = _road_setup(n, avg_degree, seed=11)
+    params = megacrn.init_params(jax.random.PRNGKey(7), cfg)
+    opt = make_optimizer(TCFG, steps_per_epoch=10)
+    rs = np.random.RandomState(1)
+    x, y, ycov = (rs.randn(batch, t, n, 1).astype(np.float32)
+                  for _ in range(3))
+    rng = jax.random.PRNGKey(8)
+
+    base = make_train_step(cfg, TCFG, opt, road_supports=packs)
+    p1, _, loss1 = base(params, opt.init(params), x, y, ycov, 3.0, rng)
+
+    mesh = make_mesh(2, 4)
+    sp = shard_road_packs(dense_supports, 4)
+    step = make_road_node_train_step(cfg, TCFG, opt, mesh, sp, donate=False)
+    sx, sy, sycov = shard_batch((x, y, ycov), mesh)
+    p2, _, loss2 = step(params, opt.init(params), sx, sy, sycov,
+                        jnp.float32(3.0), rng)
+
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_road_node_train_step_matches_single_device():
+    _assert_node_road_parity(n=16, t=4, units=8, batch=16, avg_degree=4)
+
+
+def test_road_node_train_step_multi_tile():
+    """N=384 -> 3 row-blocks: exercises the multi-tile gather/SpMM paths of
+    the node-partitioned Pallas backend (each device owns a rectangular
+    96 x 384 row slice)."""
+    _assert_node_road_parity(n=384, t=2, units=4, batch=8, avg_degree=6)
+
+
+def test_road_node_eval_forward_matches_single_device():
+    from megacrn_tpu.kernels.spmm import shard_road_packs
+    from megacrn_tpu.parallel.api import make_road_node_eval_forward
+
+    n, t = 16, 4
+    cfg = MegaCRNConfig(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=t, seq_len=t, graph_backend="road_sparse")
+    dense_supports, packs = _road_setup(n, 4, seed=11)
+    params = megacrn.init_params(jax.random.PRNGKey(7), cfg)
+    rs = np.random.RandomState(2)
+    x = rs.randn(8, t, n, 1).astype(np.float32)
+    ycov = rs.randn(8, t, n, 1).astype(np.float32)
+
+    want = megacrn.forward(params, x, ycov, cfg, road_supports=packs)
+    mesh = make_mesh(2, 4)
+    fwd = make_road_node_eval_forward(cfg, mesh, shard_road_packs(
+        dense_supports, 4))
+    sx, sycov = shard_batch((x, ycov), mesh)
+    got = fwd(params, sx, sycov)
+    np.testing.assert_allclose(np.asarray(got.output),
+                               np.asarray(want.output),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_sparse_meta_gspmd_multi_tile():
+    """sparse_meta at N=384 (3 row-blocks) under GSPMD with the learned
+    tiles node-sharded (mesh.make_shard_fn 'tiles' constraint): multi-tile
+    gathers/scatter-adds partition and still match 1-device math."""
+    from megacrn_tpu.data.synthetic import synthetic_road_adjacency
+    from megacrn_tpu.kernels.sparse_graph import build_block_pattern
+
+    n, t = 384, 2
+    cfg = MegaCRNConfig(num_nodes=n, rnn_units=4, mem_num=4, mem_dim=4,
+                        horizon=t, seq_len=t, graph_backend="sparse_meta")
+    adj = synthetic_road_adjacency(n, avg_degree=6, seed=5)
+    pat = ((adj != 0) | (adj.T != 0)).astype(np.float32)
+    np.fill_diagonal(pat, 1.0)
+    pattern = build_block_pattern(pat)
+    params = megacrn.init_params(jax.random.PRNGKey(9), cfg)
+    opt = make_optimizer(TCFG, steps_per_epoch=10)
+    rs = np.random.RandomState(1)
+    x, y, ycov = (rs.randn(8, t, n, 1).astype(np.float32) for _ in range(3))
+    rng = jax.random.PRNGKey(10)
+
+    base = make_train_step(cfg, TCFG, opt, road_supports=pattern)
+    p1, _, loss1 = base(params, opt.init(params), x, y, ycov, 3.0, rng)
+
+    mesh = make_mesh(2, 4)
+    sp = shard_params(params, mesh)
+    sx, sy, sycov = shard_batch((x, y, ycov), mesh)
+    step = make_sharded_train_step(cfg, TCFG, opt, mesh, donate=False,
+                                   road_supports=pattern)
+    p2, _, loss2 = step(sp, opt.init(sp), sx, sy, sycov, jnp.float32(3.0),
+                        rng)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_fit_with_mesh_road_node_end_to_end(tmp_path):
+    """Full harness training through the node-partitioned road_sparse path
+    (ShardedRoadPacks dispatch in fit)."""
+    from megacrn_tpu.data.datasets import build_synthetic
+    from megacrn_tpu.kernels.spmm import shard_road_packs
+    from megacrn_tpu.train.logs import RunDir
+    from megacrn_tpu.train.loop import fit
+
+    n = 16
+    dense_supports, _ = _road_setup(n, 4, seed=3)
+    mesh = make_mesh(2, 4)
+    model_cfg = MegaCRNConfig(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8,
+                              horizon=3, seq_len=3,
+                              graph_backend="road_sparse")
+    train_cfg = TrainConfig(batch_size=16, epochs=1, patience=5, seed=0,
+                            lr_milestones=(100,))
+    data = build_synthetic(num_nodes=n, num_steps=200, seq_len=3, horizon=3,
+                           batch_size=16)
+    run = RunDir(str(tmp_path), "SYNTH", snapshot_sources=False)
+    result = fit(model_cfg, train_cfg, data, run, test_every_epoch=False,
+                 mesh=mesh, road_supports=shard_road_packs(dense_supports, 4))
+    assert np.isfinite(result["best_val"]) and result["epochs_run"] == 1

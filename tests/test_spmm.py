@@ -128,3 +128,54 @@ def test_rcm_reduces_block_count():
     y = spmm(to_block_ell(a_rcm), transpose_block_ell(a_rcm),
              jnp.asarray(x[perm]), True)
     np.testing.assert_allclose(np.asarray(y), (a @ x)[perm], atol=1e-4)
+
+
+def test_spmm_rectangular_pack():
+    """Rectangular BlockELL (row-slice of a support): forward, gradient,
+    and batched — the building block of the node-partitioned road path."""
+    import jax
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(0)
+    a = ((rs.rand(96, 384) < 0.05) * rs.randn(96, 384)).astype(np.float32)
+    x = rs.randn(384, 17).astype(np.float32)
+    pack = to_block_ell(a)
+    pack_t = to_block_ell(np.ascontiguousarray(a.T))
+    y = np.asarray(spmm(pack, pack_t, jnp.asarray(x)))
+    np.testing.assert_allclose(y, a @ x, atol=1e-4, rtol=1e-4)
+    g = jax.grad(lambda v: spmm(pack, pack_t, v).sum())(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g),
+                               a.T @ np.ones((96, 17), np.float32),
+                               atol=1e-4, rtol=1e-4)
+    xb = rs.randn(3, 384, 5).astype(np.float32)
+    yb = np.asarray(spmm_batched(pack, pack_t, jnp.asarray(xb)))
+    np.testing.assert_allclose(yb, np.einsum("nm,bmc->bnc", a, xb),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_shard_road_packs_roundtrip():
+    """shard_road_packs + local_packs reproduce each device's row block."""
+    import jax.numpy as jnp
+
+    from megacrn_tpu.kernels.spmm import (ShardedRoadPacks, local_packs,
+                                          shard_road_packs)
+
+    rs = np.random.RandomState(3)
+    n, d = 16, 4
+    s1 = ((rs.rand(n, n) < 0.3) * rs.randn(n, n)).astype(np.float32)
+    s2 = ((rs.rand(n, n) < 0.3) * rs.randn(n, n)).astype(np.float32)
+    sp = shard_road_packs([s1, s2], d)
+    assert isinstance(sp, ShardedRoadPacks)
+    assert sp.fwd_data.shape[:2] == (2, d) and sp.n_loc == n // d
+    x = rs.randn(n, 5).astype(np.float32)
+    for dev in range(d):
+        view = ShardedRoadPacks(
+            sp.fwd_data[:, dev:dev + 1], sp.fwd_cols[:, dev:dev + 1],
+            sp.fwd_nnz[:, dev:dev + 1], sp.bwd_data[:, dev:dev + 1],
+            sp.bwd_cols[:, dev:dev + 1], sp.bwd_nnz[:, dev:dev + 1],
+            sp.n_loc, sp.n_full)
+        for s, dense in enumerate([s1, s2]):
+            pack, pack_t = local_packs(view)[s]
+            got = np.asarray(spmm(pack, pack_t, jnp.asarray(x)))
+            rows = dense[dev * sp.n_loc:(dev + 1) * sp.n_loc]
+            np.testing.assert_allclose(got, rows @ x, atol=1e-4, rtol=1e-4)
