@@ -61,7 +61,9 @@ def main():
     params = megacrn.init_params(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer(tcfg, steps_per_epoch=100)
     opt_state = opt.init(params)
-    step = make_train_step(cfg, tcfg, opt)
+    # donate=True matches the production harness (train/loop.py): params +
+    # opt state update in place in HBM instead of double-buffering.
+    step = make_train_step(cfg, tcfg, opt, donate=True)
 
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
     x = jax.random.normal(ks[0], (batch, seq_len, n, 1))

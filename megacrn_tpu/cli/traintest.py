@@ -196,18 +196,18 @@ def build_road_supports(args, model_cfg):
                                        seed=0)
 
     if model_cfg.graph_backend == "road_sparse":
-        from megacrn_tpu.kernels.spmm import (shard_road_packs, to_block_ell,
-                                              transpose_block_ell)
+        from megacrn_tpu.kernels.spmm import shard_road_packs
+        from megacrn_tpu.kernels.spmm_coo import build_stacked_road_pack
         from megacrn_tpu.ops.graph import dual_random_walk_supports
 
         s1, s2 = dual_random_walk_supports(adj)
-        packs = [(to_block_ell(s1), transpose_block_ell(s1)),
-                 (to_block_ell(s2), transpose_block_ell(s2))]
+        # Single-device / DP path: the padding-free block-diagonal COO pack.
+        stacked = build_stacked_road_pack([s1, s2])
         if getattr(args, "mesh_node", 1) > 1:
             # Node-partitioned packs for fit: each device owns its row
             # block (parallel.api.make_road_node_train_step).
-            return shard_road_packs([s1, s2], args.mesh_node), packs
-        return packs, packs
+            return shard_road_packs([s1, s2], args.mesh_node), stacked
+        return stacked, stacked
     # sparse_meta: learned meta-graph restricted to the symmetrised edge
     # pattern (+ self loops, so every row has at least one edge).
     from megacrn_tpu.kernels.sparse_graph import build_block_pattern

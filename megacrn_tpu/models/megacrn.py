@@ -126,13 +126,27 @@ def forward(
         # learned meta-graph is bypassed for aggregation (memory read and
         # contrastive losses remain). cfg.num_supports must equal
         # len(road_supports) so the AGCN weight widths line up.
+        from megacrn_tpu.kernels.spmm_coo import StackedRoadPack
+
         if road_supports is None:
             raise ValueError("graph_backend='road_sparse' requires "
-                             "road_supports=[(pack, pack_t), ...]")
-        if len(road_supports) != cfg.num_supports:
-            raise ValueError("len(road_supports) != cfg.num_supports")
+                             "road_supports=[(pack, pack_t), ...] or a "
+                             "StackedRoadPack")
         supports = road_supports
-        if ring_axis is not None:
+        if isinstance(road_supports, StackedRoadPack):
+            # Production single/DP path: one block-diagonal COO pack drives
+            # the whole Chebyshev recursion (ops.graph
+            # cheb_aggregate_sparse_stacked) — padding-free, S x fewer
+            # kernel launches than per-support Block-ELL.
+            from megacrn_tpu.ops.graph import cheb_aggregate_sparse_stacked
+
+            if road_supports.num_supports != cfg.num_supports:
+                raise ValueError("StackedRoadPack.num_supports != "
+                                 "cfg.num_supports")
+            aggregate = cheb_aggregate_sparse_stacked
+        elif len(road_supports) != cfg.num_supports:
+            raise ValueError("len(road_supports) != cfg.num_supports")
+        elif ring_axis is not None:
             # Node-partitioned: per-device row-block packs (built by
             # kernels.spmm.shard_road_packs, entering via shard_map
             # in_specs), x node-blocks all-gathered over the node axis.
@@ -163,14 +177,32 @@ def forward(
                             meta_graph(mem["Memory"], mem["We1"], mem["We2"]))
         aggregate = cheb_aggregate
     enc_params, dec_params = params["encoder"], params["decoder"]
-    if compute_dtype != jnp.float32 and cfg.graph_backend in ("dense",
-                                                              "dense_ring"):
-        supports = supports.astype(compute_dtype)
+    if compute_dtype != jnp.float32:
         x = x.astype(compute_dtype)
         y_cov = y_cov.astype(compute_dtype)
         cast = lambda t: jax.tree_util.tree_map(
             lambda a: a.astype(compute_dtype), t)
         enc_params, dec_params = cast(enc_params), cast(dec_params)
+        if cfg.graph_backend in ("dense", "dense_ring"):
+            supports = supports.astype(compute_dtype)
+        elif cfg.graph_backend == "sparse_meta":
+            supports = tuple(t.astype(compute_dtype) for t in supports)
+        elif cfg.graph_backend == "road_sparse":
+            # Cast the static tile data; the Pallas kernels accumulate in
+            # f32 (preferred_element_type) so only the MXU inputs narrow.
+            from megacrn_tpu.kernels.spmm_coo import StackedRoadPack
+
+            if isinstance(supports, StackedRoadPack):
+                supports = supports._replace(
+                    pack=supports.pack._replace(
+                        data=supports.pack.data.astype(compute_dtype)),
+                    pack_t=supports.pack_t._replace(
+                        data=supports.pack_t.data.astype(compute_dtype)))
+            else:
+                supports = [
+                    (a._replace(data=a.data.astype(compute_dtype)),
+                     a_t._replace(data=a_t.data.astype(compute_dtype)))
+                    for a, a_t in supports]
 
     # --- encoder over T (model/MegaCRN.py:174-176) ---
     enc_states = init_hidden(cfg.num_layers, batch, n_nodes,

@@ -68,6 +68,42 @@ def cheb_aggregate(
     return jnp.stack(terms, axis=2)
 
 
+def cheb_aggregate_sparse_stacked(packs, x: jnp.ndarray, cheb_k: int,
+                                  interpret=None) -> jnp.ndarray:
+    """Chebyshev stack over static sparse supports via ONE block-diagonal
+    COO pack: the recursion over all S supports runs on stacked features
+    (``kernels.spmm_coo.StackedRoadPack``), so each Chebyshev level is a
+    single padding-free kernel invocation instead of S Block-ELL calls —
+    measured 2x+ fewer kernel launches at EXPY-TKY shapes. Output
+    layout/order identical to ``cheb_aggregate`` (support-major)."""
+    from megacrn_tpu.kernels.spmm_coo import spmm_coo, spmm_coo_xla
+
+    if packs.impl == "xla":
+        apply = lambda v: spmm_coo_xla(packs.pack, v)
+    else:
+        apply = lambda v: spmm_coo(packs.pack, packs.pack_t, v, interpret)
+    s_num, n_pad = packs.num_supports, packs.n_pad
+    b, n, c = x.shape
+    flat = jnp.transpose(x, (1, 0, 2)).reshape(n, b * c)
+    xp = flat if n == n_pad else jnp.zeros(
+        (n_pad, b * c), flat.dtype).at[:n].set(flat)
+    x_stack = jnp.tile(xp, (s_num, 1))  # (S*n_pad, f)
+    levels = [None]  # level 0 handled by `flat` directly
+    t_prev, t_cur = x_stack, apply(x_stack)
+    levels.append(t_cur)
+    for _ in range(2, cheb_k):
+        t_prev, t_cur = t_cur, 2.0 * apply(t_cur) - t_prev
+        levels.append(t_cur)
+    terms = []
+    for s in range(s_num):
+        for k in range(cheb_k):
+            terms.append(flat if k == 0
+                         else levels[k][s * n_pad:s * n_pad + n])
+    stack = jnp.stack(terms, 1)  # (N, S*K, B*C)
+    return jnp.transpose(stack.reshape(n, s_num * cheb_k, b, c),
+                         (2, 0, 1, 3))
+
+
 def cheb_aggregate_sparse(packs, x: jnp.ndarray, cheb_k: int,
                           interpret=None) -> jnp.ndarray:
     """Chebyshev stack over static sparse supports via the Pallas block-ELL

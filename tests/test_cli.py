@@ -56,3 +56,10 @@ def test_cli_sparse_backend_requires_adjacency(tmp_path):
     with pytest.raises(SystemExit):
         main(["--dataset", "METRLA", "--graph_backend", "road_sparse",
               "--data_dir", "does_not_exist", "--save_dir", str(tmp_path)])
+
+
+def test_cli_road_sparse_node_partitioned_mesh(tmp_path):
+    """--mesh_node > 1 with the Pallas backend routes through the
+    node-partitioned ShardedRoadPacks path."""
+    _run(tmp_path, ["--graph_backend", "road_sparse",
+                    "--mesh_data", "2", "--mesh_node", "4"])

@@ -120,3 +120,34 @@ def test_curriculum_teacher_forcing_rate_matches_threshold():
     coins = jax.random.uniform(key, (horizon,))
     rate = float(jnp.mean(coins < thr))
     assert abs(rate - thr) < 0.03  # ~3 sigma at n=2000
+
+
+def test_bfloat16_sparse_backends_run_and_are_close():
+    """bf16 compute mode on the sparse graph backends (the kernels narrow
+    their MXU inputs; accumulation stays f32)."""
+    from megacrn_tpu.data.synthetic import synthetic_road_adjacency
+    from megacrn_tpu.kernels.sparse_graph import build_block_pattern
+    from megacrn_tpu.kernels.spmm import to_block_ell, transpose_block_ell
+    from megacrn_tpu.ops.graph import dual_random_walk_supports
+
+    n = 16
+    adj = synthetic_road_adjacency(n, avg_degree=4, seed=0)
+    s1, s2 = dual_random_walk_supports(adj)
+    packs = [(to_block_ell(s1), transpose_block_ell(s1)),
+             (to_block_ell(s2), transpose_block_ell(s2))]
+    pat = ((adj != 0) | (adj.T != 0)).astype(np.float32)
+    np.fill_diagonal(pat, 1.0)
+    pattern = build_block_pattern(pat)
+    rs = np.random.RandomState(0)
+    x = rs.randn(4, 4, n, 1).astype(np.float32)
+    yc = rs.randn(4, 4, n, 1).astype(np.float32)
+    for backend, sup in [("road_sparse", packs), ("sparse_meta", pattern)]:
+        kw = dict(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8, horizon=4,
+                  seq_len=4, graph_backend=backend)
+        cfg32 = MegaCRNConfig(**kw)
+        cfg16 = MegaCRNConfig(**kw, compute_dtype="bfloat16")
+        params = megacrn.init_params(jax.random.PRNGKey(0), cfg32)
+        o32 = megacrn.forward(params, x, yc, cfg32, road_supports=sup).output
+        o16 = megacrn.forward(params, x, yc, cfg16, road_supports=sup).output
+        np.testing.assert_allclose(np.asarray(o16), np.asarray(o32),
+                                   atol=0.05)
