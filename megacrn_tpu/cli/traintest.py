@@ -51,6 +51,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "semantics, model_EXPYTKY/traintest_MegaCRN.py:"
                         "187-188); required by the sparse backends unless "
                         "running on SYNTH (which generates one)")
+    p.add_argument("--road_impl", type=str, default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="road_sparse SpMM execution strategy: 'pallas' is "
+                        "the streaming Mosaic kernel (fastest steady-state, "
+                        "multi-minute first compile — cached persistently), "
+                        "'xla' the gather-einsum-scatter chain (compiles in "
+                        "seconds); 'auto' picks by pack tile count "
+                        "(kernels.spmm_coo.AUTO_PALLAS_MIN_TILES)")
+    p.add_argument("--dense_impl", type=str, default="stacked",
+                   choices=["stacked", "recursive"],
+                   help="dense aggregation: 'stacked' precomputes the "
+                        "Chebyshev polynomial matrices per forward (one tall "
+                        "matmul per aggregation); 'recursive' is the "
+                        "per-support feature recursion")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize cell steps in the backward pass "
                         "(trade FLOPs for HBM)")
@@ -100,7 +114,8 @@ def configs_from_args(args):
         cl_decay_steps=args.cl_decay_steps,
         use_curriculum_learning=args.use_curriculum_learning,
         compute_dtype=args.compute_dtype,
-        graph_backend=args.graph_backend, remat=args.remat)
+        graph_backend=args.graph_backend, dense_impl=args.dense_impl,
+        remat=args.remat)
     model_cfg = model_config_for(ds, **model_over)
 
     train_over = {}
@@ -202,7 +217,8 @@ def build_road_supports(args, model_cfg):
 
         s1, s2 = dual_random_walk_supports(adj)
         # Single-device / DP path: the padding-free block-diagonal COO pack.
-        stacked = build_stacked_road_pack([s1, s2])
+        stacked = build_stacked_road_pack(
+            [s1, s2], impl=getattr(args, "road_impl", "auto"))
         if getattr(args, "mesh_node", 1) > 1:
             # Node-partitioned packs for fit: each device owns its row
             # block (parallel.api.make_road_node_train_step).
@@ -264,9 +280,29 @@ def _make_expytky_final_eval(model_cfg, data, road_supports=None):
     return final_eval
 
 
+def _enable_compile_cache():
+    """Persistent XLA/Mosaic compilation cache: the road_sparse Mosaic
+    kernel costs a multi-minute remote compile at EXPY-TKY scale (~1000 s at
+    N=2841) — cache it so re-runs/resumes start hot."""
+    import os
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("MEGACRN_COMPILE_CACHE",
+                           os.path.join(os.path.expanduser("~"),
+                                        ".megacrn_jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knob
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     model_cfg, train_cfg = configs_from_args(args)
+    _enable_compile_cache()
 
     from megacrn_tpu.data import datasets
     from megacrn_tpu.train.logs import RunDir

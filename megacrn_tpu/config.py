@@ -41,6 +41,13 @@ class MegaCRNConfig:
     # (dense math; on a mesh the train step uses the explicit ppermute ring
     # schedule for node partitioning, megacrn_tpu.parallel.ring).
     graph_backend: str = "dense"
+    # Dense aggregation strategy: "stacked" precomputes the row-stacked
+    # Chebyshev polynomial matrices once per forward so every aggregation is
+    # ONE tall ((K-1)*S*N, N) @ (N, B*C) matmul (chain depth 1);
+    # "recursive" is the original per-support feature recursion (kept as the
+    # GSPMD node-partitioned layout and as a numerics cross-check). Same
+    # math either way (ops/graph.py).
+    dense_impl: str = "stacked"
     remat: bool = False  # rematerialize cell steps in backward (saves HBM)
 
     def __post_init__(self):

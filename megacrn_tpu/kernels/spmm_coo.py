@@ -121,14 +121,28 @@ class StackedRoadPack(NamedTuple):
     impl: str = "xla"
 
 
-def build_stacked_road_pack(supports, impl: str = "xla") -> StackedRoadPack:
+# impl='auto' threshold, in nonzero 128x128 tiles of the block-diagonal
+# pack. TPU-measured at the EXPY-TKY shapes (tools/backend_bench.json): the
+# Mosaic kernel runs ~1.8x faster than the XLA gather-einsum-scatter chain
+# at N=1843 (167 vs 307 ms/step) but costs a multi-minute remote Mosaic
+# compile (~1000 s at N=2841; amortised by the persistent compilation
+# cache). Below this tile count the pack is test/small-graph sized: the XLA
+# chain compiles in seconds and the per-tile grid would be launch-bound.
+AUTO_PALLAS_MIN_TILES = 96
+
+
+def build_stacked_road_pack(supports, impl: str = "auto") -> StackedRoadPack:
     """supports: list of (N, N) numpy arrays (e.g. dual_random_walk_supports
-    of the road adjacency)."""
-    if impl not in ("xla", "pallas"):
+    of the road adjacency). ``impl='auto'`` picks 'pallas' for production-
+    sized packs (>= AUTO_PALLAS_MIN_TILES tiles) and 'xla' for small ones."""
+    if impl not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown road SpMM impl {impl!r}")
     n_orig = supports[0].shape[0]
     n_pad = ((n_orig + BLOCK - 1) // BLOCK) * BLOCK
     fwd, bwd = stack_supports_block_coo(supports)
+    if impl == "auto":
+        impl = ("pallas" if fwd.rows.shape[0] >= AUTO_PALLAS_MIN_TILES
+                else "xla")
     return StackedRoadPack(fwd, bwd, len(supports), n_pad, impl)
 
 

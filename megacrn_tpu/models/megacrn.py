@@ -204,6 +204,22 @@ def forward(
                      a_t._replace(data=a_t.data.astype(compute_dtype)))
                     for a, a_t in supports]
 
+    if (aggregate is cheb_aggregate and cfg.dense_impl == "stacked"
+            and not getattr(shard_fn, "node_sharded", False)):
+        # Speed path for the dense backends: precompute the row-stacked
+        # Chebyshev polynomial matrices once (post-cast, so the N^3 builds
+        # run in compute_dtype) and make every aggregation ONE tall matmul
+        # (ops/graph.py:cheb_aggregate_prestacked). Skipped under GSPMD node
+        # partitioning, where the (S, N, N) row-block layout must survive.
+        from megacrn_tpu.ops.graph import (cheb_aggregate_prestacked,
+                                           cheb_support_stack)
+
+        poly_stack = cheb_support_stack(supports, cfg.cheb_k)
+        num_s = supports.shape[0]
+
+        def aggregate(_supports, x_, k_):
+            return cheb_aggregate_prestacked(poly_stack, num_s, x_, k_)
+
     # --- encoder over T (model/MegaCRN.py:174-176) ---
     enc_states = init_hidden(cfg.num_layers, batch, n_nodes,
                              cfg.rnn_units, compute_dtype)

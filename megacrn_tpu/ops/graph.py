@@ -68,6 +68,58 @@ def cheb_aggregate(
     return jnp.stack(terms, axis=2)
 
 
+def cheb_support_stack(supports: jnp.ndarray, cheb_k: int) -> jnp.ndarray:
+    """Precompute the row-stacked Chebyshev polynomial matrices, once per
+    forward: ``[T_1(A_0); ..; T_{K-1}(A_0); T_1(A_1); ..]`` -> ((K-1)*S*N, N).
+
+    Each extra term is one (N, N) @ (N, N) matmul via the matrix recursion
+    ``T_k = 2 A T_{k-1} - T_{k-2}`` (~2N^3 FLOPs — trivial next to the ~24
+    aggregations per train step that reuse the stack; ~0.2 ms at N=1843
+    bf16). T_0 = I is NOT stacked: multiplying by the identity would waste
+    S*N^2*B*C FLOPs per aggregation, so ``cheb_aggregate_prestacked``
+    splices ``x`` itself in.
+    """
+    s_num, n, _ = supports.shape
+    rows = []
+    for s in range(s_num):
+        a = supports[s]
+        t_prev, t_cur = jnp.eye(n, dtype=a.dtype), a
+        rows.append(a)
+        for _ in range(2, cheb_k):
+            t_prev, t_cur = t_cur, 2.0 * (a @ t_cur) - t_prev
+            rows.append(t_cur)
+    return jnp.concatenate(rows, axis=0)
+
+
+def cheb_aggregate_prestacked(stack: jnp.ndarray, num_supports: int,
+                              x: jnp.ndarray, cheb_k: int) -> jnp.ndarray:
+    """Chebyshev feature stack via ONE tall matmul over a precomputed
+    polynomial stack (``cheb_support_stack``).
+
+    Replaces the (K-1)-deep *sequential* per-support feature recursion of
+    ``cheb_aggregate`` (2S dependent matmuls per aggregation at K=3) with a
+    single ``((K-1)*S*N, N) @ (N, B*C)`` MXU matmul: chain depth 1, one
+    matmul S*(K-1)x the size — same FLOPs, far better MXU occupancy and
+    launch count. Identical math (T_k(A) @ x == the feature recursion);
+    output layout/order identical to ``cheb_aggregate``: (B, N, S*K, C) with
+    ``[I, A, T2(A), ...]`` per support.
+    """
+    b, n, c = x.shape
+    km1 = cheb_k - 1
+    y = jnp.einsum("pm,bmc->bpc", stack, x,
+                   preferred_element_type=x.dtype)
+    # p-axis slices are contiguous (B, N, C) blocks (p = (s*(K-1)+k-1)*N+n),
+    # so the output assembles exactly like cheb_aggregate's term stack — no
+    # 5-D transpose (a measured 26% step regression in an earlier variant).
+    terms = []
+    for s in range(num_supports):
+        terms.append(x)
+        for k in range(km1):
+            lo = (s * km1 + k) * n
+            terms.append(y[:, lo:lo + n, :])
+    return jnp.stack(terms, axis=2)
+
+
 def cheb_aggregate_sparse_stacked(packs, x: jnp.ndarray, cheb_k: int,
                                   interpret=None) -> jnp.ndarray:
     """Chebyshev stack over static sparse supports via ONE block-diagonal

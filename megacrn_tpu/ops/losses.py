@@ -49,8 +49,14 @@ def masked_mae_sums(y_pred: jnp.ndarray, y_true: jnp.ndarray):
 
 
 def masked_mape_loss(y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
-    """model/utils.py:135-142. Div-by-zero -> inf * 0 mask -> NaN -> 0."""
-    loss = jnp.abs((y_true - y_pred) / y_true) * _dcrnn_mask(y_true)
+    """model/utils.py:135-142. The reference divides by zero (inf * 0 mask ->
+    NaN -> 0); here the divisor is guarded so zero-``y_true`` elements never
+    produce inf — they are masked to 0 either way, so the value is identical
+    while eager CPU execution stays RuntimeWarning-free (real div-by-zero
+    regressions elsewhere remain visible)."""
+    mask = _dcrnn_mask(y_true)
+    safe = jnp.where(y_true != 0, y_true, 1.0)
+    loss = jnp.abs((y_true - y_pred) / safe) * mask
     return jnp.mean(_NAN_FIX(loss))
 
 

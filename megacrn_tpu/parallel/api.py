@@ -129,8 +129,13 @@ def _global_masked_loss(out, y, train_cfg, scaler_mean, scaler_std, axes):
         # without a NaN-producing where branch in the backward pass.
         pred_loss = num / jnp.maximum(den, 1.0)
     elif train_cfg.pred_loss == "l1_normalized":
-        # Plain mean over equal-size shards: pmean IS the global mean.
-        pred_loss = jax.lax.pmean(jnp.mean(jnp.abs(out.output - y)), axes)
+        # Exact global mean: psum element sum and element count separately,
+        # divide once — correct even if a future loader produces uneven
+        # shards (a pmean of per-shard means would silently skew then).
+        err = jnp.abs(out.output - y)
+        total = jax.lax.psum(jnp.sum(err), axes)
+        count = jax.lax.psum(jnp.asarray(err.size, err.dtype), axes)
+        pred_loss = total / count
     else:
         raise ValueError(f"unknown pred_loss {train_cfg.pred_loss!r}")
     aux = losses.megacrn_aux_losses(out.query, out.pos, out.neg,

@@ -84,4 +84,8 @@ def make_shard_fn(mesh: Mesh):
         return jax.lax.with_sharding_constraint(
             t, NamedSharding(mesh, specs[kind]))
 
+    # Advertise node partitioning so megacrn.forward keeps the per-support
+    # recursion there (the stacked polynomial matrix has no row-block layout
+    # aligned with the (S, N, N) supports constraint).
+    shard_fn.node_sharded = dict(mesh.shape).get(NODE_AXIS, 1) > 1
     return shard_fn

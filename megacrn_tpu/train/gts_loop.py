@@ -43,13 +43,14 @@ def _prepare(x: np.ndarray, y: np.ndarray, cfg: GTSConfig):
 
 def make_gts_train_step(cfg: GTSConfig, train_cfg: TrainConfig,
                         optimizer, scaler_mean, scaler_std, node_feas,
-                        knn_prior):
+                        knn_prior, gumbel_noise: bool = True):
     node_feas = jnp.asarray(node_feas)
     knn_prior = jnp.asarray(knn_prior).reshape(-1)
 
     def loss_fn(params, bn_state, x, y, batches_seen, rng):
         out = gts.forward(params, bn_state, x, node_feas, cfg, labels=y,
-                          batches_seen=batches_seen, rng=rng, training=True)
+                          batches_seen=batches_seen, rng=rng, training=True,
+                          gumbel_noise=gumbel_noise)
         y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
         y_true = inverse_transform(y, scaler_std, scaler_mean)
         pred_loss = losses.masked_mae_loss(y_pred, y_true)
@@ -71,14 +72,15 @@ def make_gts_train_step(cfg: GTSConfig, train_cfg: TrainConfig,
 
 
 def make_gts_eval_step(cfg: GTSConfig, scaler_mean, scaler_std, node_feas,
-                       knn_prior):
+                       knn_prior, gumbel_noise: bool = True):
     node_feas = jnp.asarray(node_feas)
     knn_prior = jnp.asarray(knn_prior).reshape(-1)
 
     @jax.jit
     def eval_step(params, bn_state, x, y, rng):
         out = gts.forward(params, bn_state, x, node_feas, cfg,
-                          rng=rng, training=False)
+                          rng=rng, training=False,
+                          gumbel_noise=gumbel_noise)
         y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
         y_true = inverse_transform(y, scaler_std, scaler_mean)
         pred_loss = losses.masked_mae_loss(y_pred, y_true)
@@ -103,7 +105,8 @@ def make_gts_eval_step(cfg: GTSConfig, scaler_mean, scaler_std, node_feas,
 
 def fit_gts(cfg: GTSConfig, train_cfg: TrainConfig, data: Dict,
             node_feas: np.ndarray, knn_prior: np.ndarray, run: RunDir,
-            max_epochs=None, mesh=None) -> Dict:
+            max_epochs=None, mesh=None, initial_state=None,
+            gumbel_noise: bool = True) -> Dict:
     """data: train/val/test BatchLoaders + scaler_mean/std (as in
     megacrn_tpu.train.loop.fit). ``mesh``: optional jax.sharding.Mesh —
     trains data-parallel through the explicit shard_map step
@@ -116,6 +119,12 @@ def fit_gts(cfg: GTSConfig, train_cfg: TrainConfig, data: Dict,
     key = jax.random.PRNGKey(seed)
     key, k_init = jax.random.split(key)
     params, bn_state = gts.init_params(k_init, cfg)
+    if initial_state is not None:
+        # (params, bn_state) injected — e.g. converted from the reference
+        # torch state_dict (interop.gts_params_from_torch_state_dict) for
+        # train-to-train parity runs.
+        params, bn_state = jax.tree_util.tree_map(jnp.asarray,
+                                                  initial_state)
 
     opt_parts = []
     if train_cfg.max_grad_norm is not None:
@@ -137,9 +146,11 @@ def fit_gts(cfg: GTSConfig, train_cfg: TrainConfig, data: Dict,
         place = lambda a: jax.device_put(a, dp)
     else:
         train_step = make_gts_train_step(cfg, train_cfg, optimizer, mean,
-                                         std, node_feas, knn_prior)
+                                         std, node_feas, knn_prior,
+                                         gumbel_noise=gumbel_noise)
         place = lambda a: a
-    eval_step = make_gts_eval_step(cfg, mean, std, node_feas, knn_prior)
+    eval_step = make_gts_eval_step(cfg, mean, std, node_feas, knn_prior,
+                                   gumbel_noise=gumbel_noise)
 
     def evaluate(loader):
         ms = []
@@ -170,6 +181,10 @@ def fit_gts(cfg: GTSConfig, train_cfg: TrainConfig, data: Dict,
                f"val_loss: {val['loss']:.4f}, {time.time() - t0:.1f}s")
         logger.info(msg)
         run.append_epochlog(msg)
+        run.log_metrics({"epoch": epoch + 1,
+                         "train_loss": float(np.mean([float(l)
+                                                      for l in tl])),
+                         "val": val, "seconds": time.time() - t0})
         if val["loss"] < min_val:
             wait, min_val = 0, val["loss"]
             ckpt.save_checkpoint(run.checkpoint_path, params,

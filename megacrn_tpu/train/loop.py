@@ -156,9 +156,12 @@ def fit(
                                      mean, std, road_supports=road_supports,
                                      donate=True)
         place_batch = lambda arrays: arrays
-    if mesh is not None and model_cfg.graph_backend == "road_sparse":
+    if mesh is not None and model_cfg.graph_backend in ("road_sparse",
+                                                        "dense_ring"):
         # Mesh eval: forward through shard_map (Pallas kernel runs
-        # per-device on its batch/node shard), metrics on the outputs.
+        # per-device on its batch/node shard; dense_ring evals data-parallel
+        # with the single-device dense math per batch shard — no device
+        # redundantly recomputes the full eval), metrics on the outputs.
         from megacrn_tpu.kernels.spmm import ShardedRoadPacks
         from megacrn_tpu.parallel.api import (make_road_node_eval_forward,
                                               make_shardmap_eval_forward)
@@ -192,8 +195,31 @@ def fit(
         import os
 
         if os.path.exists(run.checkpoint_path):
+            # Capture the live placements BEFORE loading: on a mesh the
+            # params/opt_state built above are already mesh-placed (GSPMD
+            # branch: shard_params at construction), while load_checkpoint
+            # returns host arrays — re-placing with the captured shardings
+            # makes a resumed mesh run identical to an uninterrupted one.
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                repl = NamedSharding(mesh, PartitionSpec())
+
+                def _sh(a):
+                    # Mesh-placed leaves keep their NamedSharding; leaves the
+                    # construction left uncommitted (e.g. optimizer counters)
+                    # become replicated — committing them back to a single
+                    # device would conflict with the mesh-sharded params.
+                    s = getattr(a, "sharding", None)
+                    return s if isinstance(s, NamedSharding) else repl
+
+                param_sh = jax.tree_util.tree_map(_sh, params)
+                opt_sh = jax.tree_util.tree_map(_sh, opt_state)
             params, opt_state, meta = ckpt.load_checkpoint(
                 run.checkpoint_path, params, opt_state)
+            if mesh is not None:
+                params = jax.device_put(params, param_sh)
+                opt_state = jax.device_put(opt_state, opt_sh)
             batches_seen = meta.get("batches_seen", 0)
             start_epoch = meta.get("epoch", 0) + 1
             min_val_loss = meta.get("best_val", float("inf"))
@@ -281,13 +307,17 @@ def fit(
                         model_cfg.input_dim, model_cfg.output_dim)
     logger.info("Best model horizon overall: mae:", f"{test['mae']:.4f}",
                 "mape:", f"{test['mape']:.4f}", "rmse:", f"{test['rmse']:.4f}")
-    for s in (3, 6, 12):
-        if f"mae_{s}" in test:
-            line = (f"Horizon {s}: mae: {test[f'mae_{s}']:.4f}, "
-                    f"mape: {test[f'mape_{s}']:.4f}, "
-                    f"rmse: {test[f'rmse_{s}']:.4f}")
-            logger.info(line)
-            run.append_scores(line)
+    # One score line per horizon step present in the metrics: the canonical
+    # protocol computes steps 3/6/12 (model/traintest_MegaCRN.py:96-98), the
+    # EXPY-TKY per-step eval computes every step 1..horizon and the reference
+    # writes each to the scores file (model_EXPYTKY/traintest_MegaCRN.py:146-149).
+    for s in sorted({int(k.rsplit("_", 1)[1]) for k in test
+                     if k.startswith("mae_")}):
+        line = (f"Horizon {s}: mae: {test[f'mae_{s}']:.4f}, "
+                f"mape: {test[f'mape_{s}']:.4f}, "
+                f"rmse: {test[f'rmse_{s}']:.4f}")
+        logger.info(line)
+        run.append_scores(line)
     run.log_metrics({"final_test": test, "best_val": min_val_loss})
     return {"params": params, "best_val": min_val_loss,
             "test_metrics": test, "epochs_run": epochs_run}

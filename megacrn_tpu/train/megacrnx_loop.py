@@ -170,6 +170,7 @@ def fit_megacrnx(
     run: RunDir,
     *,
     max_epochs: Optional[int] = None,
+    initial_params=None,
 ) -> Dict:
     """Train MegaCRNx with the model_futurework protocol.
 
@@ -190,6 +191,10 @@ def fit_megacrnx(
     # the EXPY-TKY harness.
     from megacrn_tpu.train.loop import _reinit_xavier_uniform
     params = _reinit_xavier_uniform(params, k_reinit)
+    if initial_params is not None:
+        # Injected start point (e.g. converted from the reference torch
+        # state_dict for train-to-train parity, tools/parity_train_megacrnx).
+        params = jax.tree_util.tree_map(jnp.asarray, initial_params)
 
     optimizer = optax.adam(train_cfg.lr)  # plain Adam, torch defaults (:126)
     opt_state = optimizer.init(params)

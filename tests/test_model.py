@@ -151,3 +151,21 @@ def test_bfloat16_sparse_backends_run_and_are_close():
         o16 = megacrn.forward(params, x, yc, cfg16, road_supports=sup).output
         np.testing.assert_allclose(np.asarray(o16), np.asarray(o32),
                                    atol=0.05)
+
+
+def test_dense_impl_stacked_matches_recursive_forward():
+    import dataclasses
+    from megacrn_tpu.config import MegaCRNConfig
+    from megacrn_tpu.models import megacrn
+
+    cfg = MegaCRNConfig(num_nodes=11, seq_len=4, horizon=4, rnn_units=8,
+                        mem_num=4, mem_dim=6, dense_impl="stacked")
+    params = megacrn.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 4, 11, 1))
+    ycov = jax.random.normal(jax.random.PRNGKey(2), (3, 4, 11, 1))
+    got = megacrn.forward(params, x, ycov, cfg)
+    cfg_r = dataclasses.replace(cfg, dense_impl="recursive")
+    want = megacrn.forward(params, x, ycov, cfg_r)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-5, rtol=1e-5)

@@ -78,3 +78,48 @@ def test_query_memory_top2_distinct_and_ordered():
         np.asarray(pos), np.asarray(mem["Memory"])[ind[..., 0]], atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(neg), np.asarray(mem["Memory"])[ind[..., 1]], atol=1e-6)
+
+
+def test_cheb_prestacked_matches_recursive():
+    # The stacked-polynomial speed path (one tall matmul per aggregation)
+    # must equal the per-support feature recursion exactly (same math).
+    from megacrn_tpu.ops.graph import (cheb_aggregate_prestacked,
+                                       cheb_support_stack)
+
+    for k in (2, 3, 4):
+        n, b, c = 13, 4, 5
+        supports = jnp.stack([_rand(0, (n, n)), _rand(1, (n, n))])
+        supports = jax.nn.softmax(supports, axis=-1)  # row-stochastic scale
+        x = _rand(2, (b, n, c))
+        want = cheb_aggregate(supports, x, k)
+        stack = cheb_support_stack(supports, k)
+        assert stack.shape == ((k - 1) * 2 * n, n)
+        got = cheb_aggregate_prestacked(stack, 2, x, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_cheb_prestacked_gradients_match():
+    # Gradient w.r.t. BOTH the supports (the learned meta-graph) and x must
+    # agree between the two dense implementations.
+    from megacrn_tpu.ops.graph import (cheb_aggregate_prestacked,
+                                       cheb_support_stack)
+
+    n, b, c, k = 7, 2, 3, 3
+    supports = jax.nn.softmax(jnp.stack([_rand(0, (n, n)),
+                                         _rand(1, (n, n))]), axis=-1)
+    x = _rand(2, (b, n, c))
+
+    def f_rec(s, v):
+        return jnp.sum(jnp.sin(cheb_aggregate(s, v, k)))
+
+    def f_stk(s, v):
+        return jnp.sum(jnp.sin(
+            cheb_aggregate_prestacked(cheb_support_stack(s, k), 2, v, k)))
+
+    gs_r, gx_r = jax.grad(f_rec, argnums=(0, 1))(supports, x)
+    gs_s, gx_s = jax.grad(f_stk, argnums=(0, 1))(supports, x)
+    np.testing.assert_allclose(np.asarray(gs_s), np.asarray(gs_r),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
+                               atol=1e-5, rtol=1e-5)

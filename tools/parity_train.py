@@ -29,9 +29,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_torch(model, data, model_cfg, train_cfg, ckpt_path):
-    """The reference training protocol (traintest_MegaCRN.py:100-155),
-    driving the imported reference model on our loaders."""
+def run_torch(model, data, model_cfg, train_cfg, ckpt_path,
+              protocol="canonical"):
+    """The reference training protocol, driving the imported reference model
+    on our loaders. ``protocol``:
+
+    * 'canonical' — traintest_MegaCRN.py:100-155: masked MAE on the
+      inverse-transformed scale, Adam(lr, eps=1e-3), grad clip 5.
+    * 'expytky' — model_EXPYTKY/traintest_MegaCRN.py:62-121: plain L1 on the
+      NORMALIZED scale, Adam(lr) with torch's default eps (1e-8), NO grad
+      clipping.
+    """
     import torch
     import torch.nn as nn
 
@@ -43,6 +51,7 @@ def run_torch(model, data, model_cfg, train_cfg, ckpt_path):
     inv = lambda t: t * std + mean
     separate_loss = nn.TripletMarginLoss(margin=1.0)
     compact_loss = nn.MSELoss()
+    l1 = nn.L1Loss()
 
     def batches(loader):
         from megacrn_tpu.data.loader import prepare_x_y
@@ -54,7 +63,10 @@ def run_torch(model, data, model_cfg, train_cfg, ckpt_path):
                    torch.from_numpy(yc))
 
     def composite(output, y, query, pos, neg):
-        loss1 = masked_mae_loss(inv(output), inv(y))
+        if protocol == "expytky":
+            loss1 = l1(output, y)
+        else:
+            loss1 = masked_mae_loss(inv(output), inv(y))
         loss2 = separate_loss(query, pos.detach(), neg.detach())
         loss3 = compact_loss(query, pos.detach())
         return (loss1 + train_cfg.lamb * loss2 + train_cfg.lamb1 * loss3,
@@ -76,8 +88,13 @@ def run_torch(model, data, model_cfg, train_cfg, ckpt_path):
                     "mape": float(np.mean(mapes)),
                     "rmse": float(np.sqrt(np.mean(mses)))}
 
-    optimizer = torch.optim.Adam(model.parameters(), lr=train_cfg.lr,
-                                 eps=train_cfg.epsilon)
+    if protocol == "expytky":
+        # model_EXPYTKY/traintest_MegaCRN.py:74 — Adam WITHOUT the eps
+        # override (torch default 1e-8), and no clipping anywhere.
+        optimizer = torch.optim.Adam(model.parameters(), lr=train_cfg.lr)
+    else:
+        optimizer = torch.optim.Adam(model.parameters(), lr=train_cfg.lr,
+                                     eps=train_cfg.epsilon)
     lr_scheduler = torch.optim.lr_scheduler.MultiStepLR(
         optimizer, milestones=list(train_cfg.lr_milestones),
         gamma=train_cfg.lr_decay_ratio)
@@ -91,8 +108,9 @@ def run_torch(model, data, model_cfg, train_cfg, ckpt_path):
             loss, _ = composite(output, y, query, pos, neg)
             batches_seen += 1
             loss.backward()
-            torch.nn.utils.clip_grad_norm_(model.parameters(),
-                                           train_cfg.max_grad_norm)
+            if train_cfg.max_grad_norm is not None:
+                torch.nn.utils.clip_grad_norm_(model.parameters(),
+                                               train_cfg.max_grad_norm)
             optimizer.step()
         lr_scheduler.step()
         val = evaluate(data["val_loader"])
@@ -105,8 +123,8 @@ def run_torch(model, data, model_cfg, train_cfg, ckpt_path):
     return {"val_trajectory": traj, "test": test, "best_val": min_val}
 
 
-def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem=4,
-               batch_size=64):
+def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
+               mem_dim=None, batch_size=64, protocol="canonical"):
     import jax
 
     # Full-f32 comparison against CPU torch: TPU f32 matmuls are bf16-pass
@@ -126,12 +144,25 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem=4,
     from megacrn_tpu.train.logs import RunDir
     from megacrn_tpu.train.loop import fit
 
-    model_cfg = MegaCRNConfig(num_nodes=nodes, rnn_units=units, mem_num=mem,
-                              mem_dim=units, horizon=seq, seq_len=seq,
-                              use_curriculum_learning=False)
-    train_cfg = TrainConfig(batch_size=batch_size, epochs=epochs,
-                            patience=epochs + 1, seed=0,
-                            lr_milestones=(max(epochs - 1, 1),))
+    mem_dim = units if mem_dim is None else mem_dim
+    model_cfg = MegaCRNConfig(num_nodes=nodes, rnn_units=units,
+                              mem_num=mem_num, mem_dim=mem_dim, horizon=seq,
+                              seq_len=seq, use_curriculum_learning=False)
+    if protocol == "expytky":
+        # model_EXPYTKY/traintest_MegaCRN.py:152-176 protocol knobs; the
+        # double xavier_uniform init happens on the TORCH side below and is
+        # converted, so reinit_xavier_uniform stays False here (identical
+        # weights by construction, not by matching RNG draws).
+        train_cfg = TrainConfig(batch_size=batch_size, epochs=epochs,
+                                patience=epochs + 1, seed=0, lr=0.001,
+                                epsilon=1e-8, max_grad_norm=None,
+                                lamb=0.01, lamb1=0.0,
+                                pred_loss="l1_normalized",
+                                lr_milestones=(max(epochs - 1, 1),))
+    else:
+        train_cfg = TrainConfig(batch_size=batch_size, epochs=epochs,
+                                patience=epochs + 1, seed=0,
+                                lr_milestones=(max(epochs - 1, 1),))
     data = build_synthetic(num_nodes=nodes, num_steps=steps, seq_len=seq,
                            horizon=seq, batch_size=batch_size, seed=3)
 
@@ -139,10 +170,20 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem=4,
     tmodel = TorchMegaCRN(
         num_nodes=nodes, input_dim=model_cfg.input_dim,
         output_dim=model_cfg.output_dim, horizon=seq, rnn_units=units,
-        num_layers=model_cfg.num_layers, mem_num=mem, mem_dim=units,
+        num_layers=model_cfg.num_layers, mem_num=mem_num, mem_dim=mem_dim,
         cheb_k=model_cfg.cheb_k, ycov_dim=model_cfg.ycov_dim,
         cl_decay_steps=model_cfg.cl_decay_steps,
         use_curriculum_learning=False)
+    if protocol == "expytky":
+        # The reference's post-construction re-init
+        # (model_EXPYTKY/traintest_MegaCRN.py:27-35).
+        import torch.nn as nn
+
+        for p in tmodel.parameters():
+            if p.dim() > 1:
+                nn.init.xavier_uniform_(p)
+            else:
+                nn.init.uniform_(p)
     init_params = params_from_flat(
         flat_from_torch_state_dict(tmodel.state_dict(),
                                    model_cfg.num_layers),
@@ -154,7 +195,7 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem=4,
 
     with tempfile.TemporaryDirectory() as td:
         torch_res = run_torch(tmodel, data, model_cfg, train_cfg,
-                              os.path.join(td, "ref.pt"))
+                              os.path.join(td, "ref.pt"), protocol=protocol)
         run = RunDir(td, "PARITY", snapshot_sources=False)
         jax_res = fit(model_cfg, train_cfg, data, run,
                       test_every_epoch=False, initial_params=init_params)
@@ -166,7 +207,9 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem=4,
                                  for k in ("loss", "mae", "mape", "rmse")})
     return {
         "config": {"nodes": nodes, "epochs": epochs, "steps": steps,
-                   "seq": seq, "units": units, "batch_size": batch_size},
+                   "seq": seq, "units": units, "mem_num": mem_num,
+                   "mem_dim": mem_dim, "batch_size": batch_size,
+                   "protocol": protocol},
         "torch": {"val_trajectory": torch_res["val_trajectory"],
                   "test": torch_res["test"],
                   "best_val": torch_res["best_val"]},
@@ -177,18 +220,10 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem=4,
     }
 
 
-def write_report(res, path="PARITY.md"):
+def _section(tag, res):
     t, j = res["torch"], res["jax"]
     lines = [
-        "# Train-to-train numerical parity: reference torch vs megacrn-tpu",
-        "",
-        "Identical synthetic dataset (same arrays, same batch order),",
-        "identical initial weights (torch init converted via",
-        "`megacrn_tpu.interop`), identical protocol",
-        "(`model/traintest_MegaCRN.py:100-155`), curriculum disabled on both",
-        "sides (host-RNG mechanism, only distributional parity possible —",
-        "SURVEY.md 7.4). Generated by `tools/parity_train.py`; asserted in",
-        "CI by `tests/test_parity_e2e.py` at a smaller configuration.",
+        f"## {tag}",
         "",
         f"Config: {res['config']}",
         "",
@@ -210,9 +245,53 @@ def write_report(res, path="PARITY.md"):
         rel = abs(a - b) / max(abs(a), 1e-12)
         lines.append(f"| {k} | {a:.6f} | {b:.6f} | {rel:.2e} |")
     lines.append("")
+    return lines
+
+
+def write_report(runs: dict, path="PARITY.md"):
+    """Regenerate PARITY.md from every recorded run (tools/parity_runs.json,
+    one section per tag: protocols x shapes, plus the GTS/MegaCRNx families
+    from their own tools)."""
+    lines = [
+        "# Train-to-train numerical parity: reference torch vs megacrn-tpu",
+        "",
+        "Identical synthetic dataset (same arrays, same batch order),",
+        "identical initial weights (torch init converted via",
+        "`megacrn_tpu.interop`), identical protocol, curriculum/Gumbel",
+        "disabled on both sides (host-RNG mechanisms, only distributional",
+        "parity possible — SURVEY.md 7.4). Generated by",
+        "`tools/parity_train.py` (MegaCRN protocols),",
+        "`tools/parity_train_gts.py` and `tools/parity_train_megacrnx.py`",
+        "(other model families); asserted in CI by",
+        "`tests/test_parity_e2e.py` at smaller configurations.",
+        "",
+    ]
+    for tag in sorted(runs):
+        lines += _section(tag, runs[tag])
     with open(path, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {path}")
+
+
+RUNS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "parity_runs.json")
+
+
+def record_and_report(tag, res):
+    runs = {}
+    if os.path.exists(RUNS_PATH):
+        with open(RUNS_PATH) as f:
+            runs = json.load(f)
+    legacy = os.path.join(os.path.dirname(RUNS_PATH), "parity.json")
+    if "canonical-toy" not in runs and os.path.exists(legacy):
+        with open(legacy) as f:
+            runs["canonical-toy"] = json.load(f)
+    runs[tag] = res
+    with open(RUNS_PATH, "w") as f:
+        json.dump(runs, f, indent=1)
+    write_report(runs, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PARITY.md"))
 
 
 if __name__ == "__main__":
@@ -220,15 +299,22 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--nodes", type=int, default=16)
     p.add_argument("--steps", type=int, default=900)
+    p.add_argument("--seq", type=int, default=12)
+    p.add_argument("--units", type=int, default=16)
+    p.add_argument("--mem_num", type=int, default=4)
+    p.add_argument("--mem_dim", type=int, default=None)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--protocol", type=str, default="canonical",
+                   choices=["canonical", "expytky"])
+    p.add_argument("--tag", type=str, default=None,
+                   help="section name in PARITY.md (default: protocol-N<nodes>)")
     p.add_argument("--report", action="store_true",
-                   help="write PARITY.md + tools/parity.json")
+                   help="record in tools/parity_runs.json + regen PARITY.md")
     a = p.parse_args()
-    res = run_parity(epochs=a.epochs, nodes=a.nodes, steps=a.steps)
+    res = run_parity(epochs=a.epochs, nodes=a.nodes, steps=a.steps,
+                     seq=a.seq, units=a.units, mem_num=a.mem_num,
+                     mem_dim=a.mem_dim, batch_size=a.batch,
+                     protocol=a.protocol)
     print(json.dumps(res, indent=1))
     if a.report:
-        with open(os.path.join(os.path.dirname(__file__), "parity.json"),
-                  "w") as f:
-            json.dump(res, f, indent=1)
-        write_report(res, os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "PARITY.md"))
+        record_and_report(a.tag or f"{a.protocol}-N{a.nodes}", res)
