@@ -59,12 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "'xla' the gather-einsum-scatter chain (compiles in "
                         "seconds); 'auto' picks by pack tile count "
                         "(kernels.spmm_coo.AUTO_PALLAS_MIN_TILES)")
-    p.add_argument("--dense_impl", type=str, default="stacked",
+    p.add_argument("--dense_impl", type=str, default="recursive",
                    choices=["stacked", "recursive"],
-                   help="dense aggregation: 'stacked' precomputes the "
-                        "Chebyshev polynomial matrices per forward (one tall "
-                        "matmul per aggregation); 'recursive' is the "
-                        "per-support feature recursion")
+                   help="dense aggregation: 'recursive' (default, measured "
+                        "faster - independent per-support matmul streams) "
+                        "or 'stacked' (one tall matmul per aggregation, "
+                        "measured 25% slower at N=1843)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize cell steps in the backward pass "
                         "(trade FLOPs for HBM)")

@@ -41,13 +41,16 @@ class MegaCRNConfig:
     # (dense math; on a mesh the train step uses the explicit ppermute ring
     # schedule for node partitioning, megacrn_tpu.parallel.ring).
     graph_backend: str = "dense"
-    # Dense aggregation strategy: "stacked" precomputes the row-stacked
-    # Chebyshev polynomial matrices once per forward so every aggregation is
-    # ONE tall ((K-1)*S*N, N) @ (N, B*C) matmul (chain depth 1);
-    # "recursive" is the original per-support feature recursion (kept as the
-    # GSPMD node-partitioned layout and as a numerics cross-check). Same
-    # math either way (ops/graph.py).
-    dense_impl: str = "stacked"
+    # Dense aggregation strategy. "recursive" (default, the speed path) is
+    # the per-support feature recursion: its 2 supports give XLA independent
+    # matmul streams to overlap, sustaining 77 TFLOP/s in isolation on v5e
+    # (tools/bench_matmul_layout.py round 3). "stacked" precomputes the
+    # Chebyshev polynomial matrices per forward so every aggregation is ONE
+    # tall ((K-1)*S*N, N) @ (N, B*C) matmul — measured SLOWER (102 vs 81.5
+    # ms/step at N=1843: one serial matmul loses the inter-support overlap;
+    # a dependent-chain 2048^3 matmul sustains only ~52 TFLOP/s). Kept as a
+    # measured A/B option; same math either way (ops/graph.py).
+    dense_impl: str = "recursive"
     remat: bool = False  # rematerialize cell steps in backward (saves HBM)
 
     def __post_init__(self):

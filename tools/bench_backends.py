@@ -87,11 +87,12 @@ def bench_backend(backend, adj, n, batch, steps, compute_dtype):
                         rnn_units=32, mem_num=10, mem_dim=32,
                         use_curriculum_learning=True,
                         graph_backend=graph_backend,
-                        # dense_recursive = the pre-round-3 per-support
-                        # feature recursion (A/B for the stacked path).
-                        dense_impl=("recursive"
-                                    if backend == "dense_recursive"
-                                    else "stacked"),
+                        # dense_stacked = the round-3 tall-matmul A/B
+                        # variant (measured slower; kept for regression
+                        # tracking).
+                        dense_impl=("stacked"
+                                    if backend == "dense_stacked"
+                                    else "recursive"),
                         compute_dtype=compute_dtype,
                         # sparse_meta's gathered (nblk, R, 128, B*C) x-tiles
                         # saved per scan step OOM 16GB HBM at N=1843 B=64;
