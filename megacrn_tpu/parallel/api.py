@@ -43,7 +43,8 @@ from megacrn_tpu.config import MegaCRNConfig, TrainConfig
 from megacrn_tpu.models import megacrn
 from megacrn_tpu.ops import losses
 from megacrn_tpu.parallel.mesh import DATA_AXIS, NODE_AXIS, make_shard_fn
-from megacrn_tpu.train.steps import composite_loss
+from megacrn_tpu.train.steps import (composite_loss, join_support_arrays,
+                                     split_support_arrays)
 from megacrn_tpu.ops.scaling import inverse_transform
 
 
@@ -171,22 +172,28 @@ def make_shardmap_train_step(
     per-horizon-step coins — matching single-device semantics exactly
     (the reference flips one host coin per decoder step for the whole
     batch, model/MegaCRN.py:188-191).
-    """
 
-    def loss_fn(params, x, y, y_cov, batches_seen, rng):
+    The graph constant's array leaves enter as replicated runtime args
+    (``split_support_arrays``) so the program size stays independent of nnz
+    (remote-compile body limit at large N).
+    """
+    skel, sup_arrays = split_support_arrays(road_supports)
+
+    def loss_fn(params, x, y, y_cov, batches_seen, rng, sup):
         out = megacrn.forward(params, x, y_cov, model_cfg, labels=y,
                               batches_seen=batches_seen, rng=rng,
-                              training=True, road_supports=road_supports)
+                              training=True,
+                              road_supports=join_support_arrays(skel, sup))
         return _global_masked_loss(out, y, train_cfg, scaler_mean,
                                    scaler_std, DATA_AXIS)
 
     rep = P()
     bspec = P(DATA_AXIS)  # leading batch axis; rest replicated
 
-    def step(params, opt_state, x, y, y_cov, batches_seen, rng):
+    def step(params, opt_state, x, y, y_cov, batches_seen, rng, sup):
         rng = jax.random.fold_in(rng, batches_seen.astype(jnp.int32))
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, x, y, y_cov, batches_seen, rng)
+            params, x, y, y_cov, batches_seen, rng, sup)
         # loss_fn contains the collectives, so every device seeds cotangent
         # 1 for the SAME global loss and the psum/pmean transposes make each
         # per-device grad P x (that device's data contribution); pmean both
@@ -197,11 +204,19 @@ def make_shardmap_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    sup_spec = jax.tree_util.tree_map(lambda _: rep, sup_arrays)
     mapped = shard_map(step, mesh=mesh,
-                       in_specs=(rep, rep, bspec, bspec, bspec, rep, rep),
+                       in_specs=(rep, rep, bspec, bspec, bspec, rep, rep,
+                                 sup_spec),
                        out_specs=(rep, rep, rep), check_rep=False)
     donate_argnums = (0, 1) if donate else ()
-    return jax.jit(mapped, donate_argnums=donate_argnums)
+    jitted = jax.jit(mapped, donate_argnums=donate_argnums)
+
+    def run(params, opt_state, x, y, y_cov, batches_seen, rng):
+        return jitted(params, opt_state, x, y, y_cov, batches_seen, rng,
+                      sup_arrays)
+
+    return run
 
 
 def make_ring_train_step(
@@ -439,15 +454,23 @@ def make_gts_mesh_train_step(
 def make_shardmap_eval_forward(model_cfg: MegaCRNConfig, mesh: Mesh,
                                road_supports=None) -> Callable:
     """Data-parallel eval forward via shard_map (any backend incl. Pallas)."""
+    skel, sup_arrays = split_support_arrays(road_supports)
 
-    def fwd(params, x, y_cov):
-        return megacrn.forward(params, x, y_cov, model_cfg,
-                               road_supports=road_supports)
+    def fwd(params, x, y_cov, sup):
+        return megacrn.forward(
+            params, x, y_cov, model_cfg,
+            road_supports=join_support_arrays(skel, sup))
 
     rep = P()
     bspec = P(DATA_AXIS)
+    sup_spec = jax.tree_util.tree_map(lambda _: rep, sup_arrays)
     mapped = shard_map(
-        fwd, mesh=mesh, in_specs=(rep, bspec, bspec),
+        fwd, mesh=mesh, in_specs=(rep, bspec, bspec, sup_spec),
         out_specs=megacrn.MegaCRNOutput(bspec, bspec, bspec, bspec, bspec),
         check_rep=False)
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def run(params, x, y_cov):
+        return jitted(params, x, y_cov, sup_arrays)
+
+    return run

@@ -40,6 +40,47 @@ def composite_loss(out: megacrn.MegaCRNOutput, y: jnp.ndarray,
     return pred_loss + aux
 
 
+def split_support_arrays(road_supports):
+    """Split a graph constant (StackedRoadPack / BlockELL pairs /
+    BlockPattern) into (skeleton, [ndarray leaves]) so the big pack arrays
+    enter jitted steps as RUNTIME ARGUMENTS instead of baked-in program
+    constants. Embedding them as constants made the serialized program scale
+    with nnz — at N=8192 the road pack blew the axon remote-compile HTTP
+    body limit (HTTP 413). Static metadata (python ints like padded dims)
+    stays in the skeleton so shapes remain trace-time constants."""
+    import numpy as np
+
+    arrays = []
+
+    def walk(o):
+        if isinstance(o, (jnp.ndarray, np.ndarray)) and o.ndim > 0:
+            arrays.append(jnp.asarray(o))
+            return ("__support_arr__", len(arrays) - 1)
+        if isinstance(o, tuple) and hasattr(o, "_fields"):  # NamedTuple
+            return type(o)(*[walk(v) for v in o])
+        if isinstance(o, (list, tuple)):
+            return type(o)(walk(v) for v in o)
+        return o
+
+    return walk(road_supports), arrays
+
+
+def join_support_arrays(skeleton, arrays):
+    """Inverse of ``split_support_arrays`` (runs inside the jit trace)."""
+
+    def walk(o):
+        if (isinstance(o, tuple) and len(o) == 2
+                and o[0] == "__support_arr__"):
+            return arrays[o[1]]
+        if isinstance(o, tuple) and hasattr(o, "_fields"):
+            return type(o)(*[walk(v) for v in o])
+        if isinstance(o, (list, tuple)):
+            return type(o)(walk(v) for v in o)
+        return o
+
+    return walk(skeleton)
+
+
 def make_train_step(
     model_cfg: MegaCRNConfig,
     train_cfg: TrainConfig,
@@ -53,28 +94,35 @@ def make_train_step(
     -> (params, opt_state, loss)``. ``batches_seen`` is a traced float driving
     the curriculum threshold, so step count does not trigger recompiles.
     ``road_supports`` feeds the sparse graph backends (BlockELL packs or a
-    BlockPattern, per ``model_cfg.graph_backend``); it is closed over as a
-    trace-time constant. ``donate`` aliases the params/opt-state inputs to
-    the outputs (halves their HBM footprint on the hot path); leave False
+    BlockPattern, per ``model_cfg.graph_backend``); its array leaves are
+    threaded as runtime args (``split_support_arrays``) so the program size
+    stays independent of nnz. ``donate`` aliases the params/opt-state inputs
+    to the outputs (halves their HBM footprint on the hot path); leave False
     when the caller reuses the input pytrees after a step."""
+    skel, sup_arrays = split_support_arrays(road_supports)
 
-    def loss_fn(params, x, y, y_cov, batches_seen, rng):
+    def loss_fn(params, x, y, y_cov, batches_seen, rng, sup):
         out = megacrn.forward(params, x, y_cov, model_cfg, labels=y,
                               batches_seen=batches_seen, rng=rng,
-                              training=True, road_supports=road_supports)
+                              training=True,
+                              road_supports=join_support_arrays(skel, sup))
         return composite_loss(out, y, train_cfg, scaler_mean, scaler_std)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
-    def train_step(params, opt_state, x, y, y_cov, batches_seen, rng):
+    def _step(params, opt_state, x, y, y_cov, batches_seen, rng, sup):
         # Derive the per-step key INSIDE the jit (fold_in on the step
         # counter): host-side jax.random.split per step would serialize a
         # device round-trip chain through the axon tunnel.
         rng = jax.random.fold_in(rng, batches_seen.astype(jnp.int32))
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, x, y, y_cov, batches_seen, rng)
+            params, x, y, y_cov, batches_seen, rng, sup)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def train_step(params, opt_state, x, y, y_cov, batches_seen, rng):
+        return _step(params, opt_state, x, y, y_cov, batches_seen, rng,
+                     sup_arrays)
 
     return train_step
 
@@ -97,15 +145,19 @@ def make_eval_step(
     per-batch masked metrics of the reference eval loop
     (model/traintest_MegaCRN.py:60-86)."""
     steps = _metric_steps(model_cfg.horizon)
+    skel, sup_arrays = split_support_arrays(road_supports)
 
     @jax.jit
-    def eval_step(params, x, y, y_cov):
+    def _eval(params, x, y, y_cov, sup):
         out = megacrn.forward(params, x, y_cov, model_cfg, training=False,
-                              road_supports=road_supports)
+                              road_supports=join_support_arrays(skel, sup))
         m = eval_metrics(out, y, train_cfg, scaler_mean, scaler_std, steps)
         if return_predictions:
             return m, inverse_transform(out.output, scaler_std, scaler_mean)
         return m
+
+    def eval_step(params, x, y, y_cov):
+        return _eval(params, x, y, y_cov, sup_arrays)
 
     return eval_step
 
