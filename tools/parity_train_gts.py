@@ -27,6 +27,12 @@ def run_torch(data, node_feas, knn, args, cfg):
     import torch
 
     sys.path.insert(0, "/root/reference/model")
+    # The reference imports torchsummary at module top (GTS.py:6) but only
+    # uses it in __main__; the package is absent from this image.
+    import types
+
+    sys.modules.setdefault(
+        "torchsummary", types.SimpleNamespace(summary=lambda *a, **k: None))
     import GTS as ref_gts  # noqa: E402
     from utils import (masked_mae_loss, masked_mape_loss,  # noqa: E402
                        masked_mse_loss)

@@ -27,7 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def torch_params_to_ours(tmodel, num_layers):
     """Reference state_dict -> megacrn-tpu MegaCRNx param pytree (the
     goldens flattening, tools/make_megacrnx_goldens.py)."""
-    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    # np.array(copy=True): .numpy() SHARES memory with the torch tensors,
+    # and the torch side trains (mutates) after conversion.
+    sd = {k: np.array(v.detach().numpy(), copy=True)
+          for k, v in tmodel.state_dict().items()}
 
     def cells(mod):
         out = []
