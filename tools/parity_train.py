@@ -271,6 +271,13 @@ def write_report(runs: dict, path="PARITY.md"):
         "val-loss trajectory are the conditioning-robust parity evidence",
         "(MAPE agrees to ~1e-2 rel on real-scale data, test_parity_e2e).",
         "",
+        "Note on scale (canonical-metrla-N207): at the published lr=0.01",
+        "the epoch-1 val losses differ ~4% before re-converging to <0.1% by",
+        "epoch 3 and <1e-3 on final test. A small-lr control shows this is",
+        "lr-amplified chaotic drift, not semantics: the SAME config at",
+        "lr=1e-4 matches epoch-1 val loss to 3e-7 relative",
+        "(torch 8.4671807 vs jax 8.4671783).",
+        "",
         "Note on GTS: the straight-through hard-argmax graph sampler is a",
         "DISCONTINUOUS function of the logits, so once any edge flips from",
         "accumulated float drift the trajectories legitimately diverge;",
