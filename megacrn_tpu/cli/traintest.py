@@ -52,13 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "187-188); required by the sparse backends unless "
                         "running on SYNTH (which generates one)")
     p.add_argument("--road_impl", type=str, default="auto",
-                   choices=["auto", "xla", "pallas"],
-                   help="road_sparse SpMM execution strategy: 'pallas' is "
-                        "the streaming Mosaic kernel (fastest steady-state, "
-                        "multi-minute first compile — cached persistently), "
-                        "'xla' the gather-einsum-scatter chain (compiles in "
-                        "seconds); 'auto' picks by pack tile count "
-                        "(kernels.spmm_coo.AUTO_PALLAS_MIN_TILES)")
+                   choices=["auto", "xla", "pallas", "ell"],
+                   help="road_sparse SpMM execution strategy: 'pallas' "
+                        "(streaming Mosaic tile kernel, fastest sparse at "
+                        "published sizes), 'xla' (gather-einsum-scatter "
+                        "tile chain), 'ell' (node-level gather ELL — "
+                        "near-flat in N*B, beats dense from N~16k and the "
+                        "only impl that fits N=32768); 'auto' picks "
+                        "ell at N>=8192 else pallas (measured policy, "
+                        "tools/backend_bench.json)")
     p.add_argument("--dense_impl", type=str, default="recursive",
                    choices=["stacked", "recursive"],
                    help="dense aggregation: 'recursive' (default, measured "
@@ -216,9 +218,26 @@ def build_road_supports(args, model_cfg):
         from megacrn_tpu.ops.graph import dual_random_walk_supports
 
         s1, s2 = dual_random_walk_supports(adj)
-        # Single-device / DP path: the padding-free block-diagonal COO pack.
-        stacked = build_stacked_road_pack(
-            [s1, s2], impl=getattr(args, "road_impl", "auto"))
+        # Single-device / DP path: node-level ELL (gather-based, the
+        # scalable form for ultra-sparse graphs) or the block-diagonal COO
+        # pack (tile-granular Mosaic/XLA kernels).
+        impl = getattr(args, "road_impl", "auto")
+        if impl == "auto":
+            # TPU-measured policy (tools/backend_bench.json): the
+            # tile-granular Mosaic COO kernel is the fastest sparse impl at
+            # published sizes (167 ms vs ELL 284 at N=1843 — tiles ride the
+            # MXU), but tile count explodes on scatter-sparse graphs at
+            # scale (84k tiles -> OOM at N=32768); node-ELL is near-flat in
+            # N*B and wins from N~16k (430 vs dense 550 at 16384; only
+            # survivor at 32768). Crossover between the two sits ~8192.
+            impl = "ell" if adj.shape[0] >= 8192 else "pallas"
+        if impl == "ell":
+            from megacrn_tpu.kernels.spmm_ell_node import \
+                build_stacked_node_ell
+
+            stacked = build_stacked_node_ell([s1, s2])
+        else:
+            stacked = build_stacked_road_pack([s1, s2], impl=impl)
         if getattr(args, "mesh_node", 1) > 1:
             # Node-partitioned packs for fit: each device owns its row
             # block (parallel.api.make_road_node_train_step).

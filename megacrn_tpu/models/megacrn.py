@@ -132,8 +132,19 @@ def forward(
             raise ValueError("graph_backend='road_sparse' requires "
                              "road_supports=[(pack, pack_t), ...] or a "
                              "StackedRoadPack")
+        from megacrn_tpu.kernels.spmm_ell_node import (StackedNodeELL,
+                                                       cheb_aggregate_node_ell)
+
         supports = road_supports
-        if isinstance(road_supports, StackedRoadPack):
+        if isinstance(road_supports, StackedNodeELL):
+            # Node-level ELL: gather + weighted reduce, scatter-free; the
+            # scalable form for ultra-sparse road graphs where tile-granular
+            # packs explode (kernels/spmm_ell_node.py).
+            if road_supports.num_supports != cfg.num_supports:
+                raise ValueError("StackedNodeELL.num_supports != "
+                                 "cfg.num_supports")
+            aggregate = cheb_aggregate_node_ell
+        elif isinstance(road_supports, StackedRoadPack):
             # Production single/DP path: one block-diagonal COO pack drives
             # the whole Chebyshev recursion (ops.graph
             # cheb_aggregate_sparse_stacked) — padding-free, S x fewer
@@ -191,8 +202,15 @@ def forward(
             # Cast the static tile data; the Pallas kernels accumulate in
             # f32 (preferred_element_type) so only the MXU inputs narrow.
             from megacrn_tpu.kernels.spmm_coo import StackedRoadPack
+            from megacrn_tpu.kernels.spmm_ell_node import StackedNodeELL
 
-            if isinstance(supports, StackedRoadPack):
+            if isinstance(supports, StackedNodeELL):
+                supports = supports._replace(
+                    pack=supports.pack._replace(
+                        w=supports.pack.w.astype(compute_dtype)),
+                    pack_t=supports.pack_t._replace(
+                        w=supports.pack_t.w.astype(compute_dtype)))
+            elif isinstance(supports, StackedRoadPack):
                 supports = supports._replace(
                     pack=supports.pack._replace(
                         data=supports.pack.data.astype(compute_dtype)),

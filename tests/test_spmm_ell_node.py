@@ -1,0 +1,110 @@
+"""Node-level ELL SpMM: equality vs dense aggregation + gradients + model
+integration (the scalable road-graph path, kernels/spmm_ell_node.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from megacrn_tpu.data.synthetic import synthetic_road_adjacency
+from megacrn_tpu.kernels.spmm_ell_node import (build_stacked_node_ell,
+                                               cheb_aggregate_node_ell)
+from megacrn_tpu.ops.graph import cheb_aggregate, dual_random_walk_supports
+
+
+def _setup(n=37, b=3, c=5, seed=0):
+    adj = synthetic_road_adjacency(n, avg_degree=5, seed=seed)
+    s1, s2 = dual_random_walk_supports(adj)
+    packs = build_stacked_node_ell([s1, s2])
+    dense = jnp.stack([jnp.asarray(s1), jnp.asarray(s2)])
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, n, c))
+    return packs, dense, x
+
+
+def test_node_ell_matches_dense_cheb():
+    packs, dense, x = _setup()
+    for k in (2, 3, 4):
+        want = cheb_aggregate(dense, x, k)
+        got = cheb_aggregate_node_ell(packs, x, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_node_ell_gradient_matches_dense():
+    packs, dense, x = _setup()
+
+    def f_ell(v):
+        return jnp.sum(jnp.sin(cheb_aggregate_node_ell(packs, v, 3)))
+
+    def f_dense(v):
+        return jnp.sum(jnp.sin(cheb_aggregate(dense, v, 3)))
+
+    g_e = jax.grad(f_ell)(x)
+    g_d = jax.grad(f_dense)(x)
+    np.testing.assert_allclose(np.asarray(g_e), np.asarray(g_d),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_node_ell_pack_is_runtime_arg_safe():
+    # The pack must survive the split/join runtime-arg threading used by
+    # every jitted step (train/steps.py).
+    from megacrn_tpu.train.steps import (join_support_arrays,
+                                         split_support_arrays)
+
+    packs, dense, x = _setup()
+    skel, arrs = split_support_arrays(packs)
+    rebuilt = join_support_arrays(skel, arrs)
+    got = cheb_aggregate_node_ell(rebuilt, x, 3)
+    want = cheb_aggregate(dense, x, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_node_ell_full_model_matches_dense_road():
+    """road_sparse forward with the node-ELL pack == the COO-pack forward."""
+    from megacrn_tpu.config import MegaCRNConfig
+    from megacrn_tpu.kernels.spmm_coo import build_stacked_road_pack
+    from megacrn_tpu.models import megacrn
+
+    n = 24
+    adj = synthetic_road_adjacency(n, avg_degree=4, seed=3)
+    s1, s2 = dual_random_walk_supports(adj)
+    ell = build_stacked_node_ell([s1, s2])
+    coo = build_stacked_road_pack([s1, s2], impl="xla")
+    cfg = MegaCRNConfig(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=3, seq_len=3, graph_backend="road_sparse")
+    params = megacrn.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, n, 1))
+    ycov = jax.random.normal(jax.random.PRNGKey(2), (2, 3, n, 1))
+    out_e = megacrn.forward(params, x, ycov, cfg, road_supports=ell)
+    out_c = megacrn.forward(params, x, ycov, cfg, road_supports=coo)
+    np.testing.assert_allclose(np.asarray(out_e.output),
+                               np.asarray(out_c.output),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_node_ell_trains():
+    from megacrn_tpu.config import MegaCRNConfig, TrainConfig
+    from megacrn_tpu.models import megacrn
+    from megacrn_tpu.train.optim import make_optimizer
+    from megacrn_tpu.train.steps import make_train_step
+
+    n = 24
+    adj = synthetic_road_adjacency(n, avg_degree=4, seed=3)
+    packs = build_stacked_node_ell(list(dual_random_walk_supports(adj)))
+    cfg = MegaCRNConfig(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=3, seq_len=3, graph_backend="road_sparse")
+    tcfg = TrainConfig(batch_size=4, lr=0.01)
+    params = megacrn.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(tcfg, steps_per_epoch=10)
+    step = make_train_step(cfg, tcfg, opt, road_supports=packs)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(ks[0], (4, 3, n, 1))
+    y = jax.random.normal(ks[1], (4, 3, n, 1))
+    ycov = jax.random.normal(ks[2], (4, 3, n, 1))
+    state = opt.init(params)
+    losses = []
+    for i in range(5):
+        params, state, loss = step(params, state, x, y, ycov,
+                                   jnp.float32(i), jax.random.PRNGKey(2))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

@@ -193,3 +193,20 @@ def test_expytky_preset_flags():
     assert tc.pred_loss == "l1_normalized"
     assert tc.max_grad_norm is None
     assert tc.lamb1 == 0.0 and tc.reinit_xavier_uniform
+
+
+def test_fit_two_layer_stack(tmp_path):
+    """num_layers=2 through the full harness (the reference supports stacked
+    cells, model/MegaCRN.py:53-89; goldens cover the forward — this covers
+    training end-to-end)."""
+    model_cfg = MegaCRNConfig(num_nodes=8, rnn_units=8, mem_num=4, mem_dim=8,
+                              horizon=3, seq_len=3, num_layers=2,
+                              cl_decay_steps=50)
+    train_cfg = TrainConfig(batch_size=16, epochs=2, patience=5, seed=0,
+                            lr=0.01, lr_milestones=(100,))
+    data = build_synthetic(num_nodes=8, num_steps=300, seq_len=3, horizon=3,
+                           batch_size=16)
+    run = RunDir(str(tmp_path), "SYNTH", snapshot_sources=False)
+    result = fit(model_cfg, train_cfg, data, run, test_every_epoch=False)
+    assert result["epochs_run"] == 2
+    assert np.isfinite(result["best_val"])

@@ -56,6 +56,11 @@ def make_supports(backend, adj):
         from megacrn_tpu.ops.graph import dual_random_walk_supports
 
         s1, s2 = dual_random_walk_supports(adj)
+        if backend == "road_sparse_ell":
+            from megacrn_tpu.kernels.spmm_ell_node import \
+                build_stacked_node_ell
+
+            return build_stacked_node_ell([s1, s2])
         impl = "xla" if backend == "road_sparse_xla" else "pallas"
         return build_stacked_road_pack([s1, s2], impl=impl)
     if backend == "sparse_meta":
@@ -137,6 +142,8 @@ def bench_backend(backend, adj, n, batch, steps, compute_dtype):
     # Effective nnz per backend (for its own edges/s number).
     if backend.startswith("dense"):
         nnz = 2 * n * n
+    elif backend == "road_sparse_ell":
+        nnz = int(np.count_nonzero(np.asarray(supports.pack.w)))
     elif backend.startswith("road_sparse"):
         nnz = int(np.count_nonzero(np.asarray(supports.pack.data)))
     else:  # sparse_meta: tile-granular compute
