@@ -156,3 +156,103 @@ def cheb_aggregate_node_ell(packs: StackedNodeELL, x: jnp.ndarray,
     stack = jnp.stack(terms, 1)  # (N, S*K, F)
     return jnp.transpose(stack.reshape(n, s_num * cheb_k, b, c),
                          (2, 0, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# Node-partitioned (mesh) variant: each device owns the ELL rows of its node
+# block; x node-blocks are all-gathered over the mesh node axis (ICI) and the
+# gather-reduce runs on local rows only. Mirrors kernels.spmm.shard_road_packs
+# for the tile path. Autodiff inserts the scatter-add + psum_scatter for dx
+# through the gather/all_gather transposes.
+# ---------------------------------------------------------------------------
+
+class ShardedNodeELL:
+    """Per-device row-partitioned node-ELL supports, stacked for shard_map.
+
+    nbr/w: (D_dev, S, n_loc, D) — shard_map in_specs split dim 0 over the
+    node axis. Column ids are GLOBAL node ids in [0, n_full). n_loc/n_full
+    are static pytree aux (trace-time shapes)."""
+
+    def __init__(self, nbr, w, n_loc: int, n_full: int):
+        self.nbr, self.w = nbr, w
+        self.n_loc, self.n_full = n_loc, n_full
+
+    def tree_flatten(self):
+        return ((self.nbr, self.w), (self.n_loc, self.n_full))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+
+jax.tree_util.register_pytree_node(
+    ShardedNodeELL, ShardedNodeELL.tree_flatten, ShardedNodeELL.tree_unflatten)
+
+
+class LocalNodeELL(NamedTuple):
+    """This device's row block inside shard_map: nbr/w (S, n_loc, D)."""
+
+    nbr: jnp.ndarray
+    w: jnp.ndarray
+    n_full: int
+
+
+def shard_node_ell(supports, n_shards: int) -> ShardedNodeELL:
+    """Row-partition dense numpy supports for the node-sharded ELL path.
+    supports: list of (N, N) numpy arrays; N must divide by n_shards."""
+    sups = [np.asarray(s, np.float32) for s in supports]
+    n = sups[0].shape[0]
+    if n % n_shards:
+        raise ValueError(f"num_nodes {n} not divisible by {n_shards}")
+    n_loc = n // n_shards
+    # One GLOBAL max degree so every (device, support) slice is uniform.
+    d_max = 1
+    for a in sups:
+        d_max = max(d_max, int((a != 0).sum(1).max()))
+    nbr = np.zeros((n_shards, len(sups), n_loc, d_max), np.int32)
+    w = np.zeros((n_shards, len(sups), n_loc, d_max), np.float32)
+    for si, a in enumerate(sups):
+        for dev in range(n_shards):
+            blk = a[dev * n_loc:(dev + 1) * n_loc]
+            rows, cols = np.nonzero(blk)
+            counts = np.bincount(rows, minlength=n_loc)
+            slot = (np.concatenate([np.arange(c) for c in counts])
+                    if len(rows) else np.zeros((0,), np.int64))
+            nbr[dev, si][rows, slot] = cols
+            w[dev, si][rows, slot] = blk[rows, cols]
+    return ShardedNodeELL(jnp.asarray(nbr), jnp.asarray(w), n_loc, n)
+
+
+def local_node_ell(sp: ShardedNodeELL) -> LocalNodeELL:
+    """Inside shard_map (arrays carry a length-1 device dim)."""
+    return LocalNodeELL(sp.nbr[0], sp.w[0], sp.n_full)
+
+
+def cheb_aggregate_node_ell_sharded(pack: LocalNodeELL, x: jnp.ndarray,
+                                    cheb_k: int, axis_name: str
+                                    ) -> jnp.ndarray:
+    """Node-partitioned Chebyshev stack (inside shard_map): all-gather the x
+    node-blocks over ``axis_name``, gather-reduce on local rows. Output
+    (B, n_loc, S*K, C) node-local. Intermediate terms are re-gathered per
+    extra Chebyshev level, as in parallel.ring.cheb_aggregate_sparse_sharded."""
+
+    def gather(t):  # (B, n_loc, C) -> (B, N, C)
+        return jax.lax.all_gather(t, axis_name, axis=1, tiled=True)
+
+    def apply_local(s, t_full):  # t_full (B, N, C) -> (B, n_loc, C)
+        g = t_full[:, pack.nbr[s]]  # (B, n_loc, D, C)
+        return jnp.einsum("rd,brdc->brc", pack.w[s].astype(t_full.dtype), g,
+                          preferred_element_type=t_full.dtype)
+
+    x_full = gather(x)
+    terms = []
+    for s in range(pack.nbr.shape[0]):
+        t_prev_l = x
+        t_cur_l = apply_local(s, x_full)
+        terms.append(t_prev_l)
+        terms.append(t_cur_l)
+        for _ in range(2, cheb_k):
+            t_prev_l, t_cur_l = t_cur_l, (
+                2.0 * apply_local(s, gather(t_cur_l)) - t_prev_l)
+            terms.append(t_cur_l)
+    return jnp.stack(terms, axis=2)

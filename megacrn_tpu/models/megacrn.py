@@ -132,11 +132,23 @@ def forward(
             raise ValueError("graph_backend='road_sparse' requires "
                              "road_supports=[(pack, pack_t), ...] or a "
                              "StackedRoadPack")
-        from megacrn_tpu.kernels.spmm_ell_node import (StackedNodeELL,
-                                                       cheb_aggregate_node_ell)
+        from megacrn_tpu.kernels.spmm_ell_node import (
+            LocalNodeELL, StackedNodeELL, cheb_aggregate_node_ell,
+            cheb_aggregate_node_ell_sharded)
 
         supports = road_supports
-        if isinstance(road_supports, StackedNodeELL):
+        if isinstance(road_supports, LocalNodeELL):
+            # Node-partitioned ELL inside shard_map: this device's row
+            # block; x node-blocks all-gathered over the mesh node axis.
+            if ring_axis is None:
+                raise ValueError("LocalNodeELL requires ring_axis (it only "
+                                 "exists inside shard_map)")
+
+            def aggregate(pack_, x_, k_):
+                return cheb_aggregate_node_ell_sharded(pack_, x_, k_,
+                                                       ring_axis)
+
+        elif isinstance(road_supports, StackedNodeELL):
             # Node-level ELL: gather + weighted reduce, scatter-free; the
             # scalable form for ultra-sparse road graphs where tile-granular
             # packs explode (kernels/spmm_ell_node.py).
@@ -202,9 +214,13 @@ def forward(
             # Cast the static tile data; the Pallas kernels accumulate in
             # f32 (preferred_element_type) so only the MXU inputs narrow.
             from megacrn_tpu.kernels.spmm_coo import StackedRoadPack
-            from megacrn_tpu.kernels.spmm_ell_node import StackedNodeELL
+            from megacrn_tpu.kernels.spmm_ell_node import (LocalNodeELL,
+                                                           StackedNodeELL)
 
-            if isinstance(supports, StackedNodeELL):
+            if isinstance(supports, LocalNodeELL):
+                supports = supports._replace(
+                    w=supports.w.astype(compute_dtype))
+            elif isinstance(supports, StackedNodeELL):
                 supports = supports._replace(
                     pack=supports.pack._replace(
                         w=supports.pack.w.astype(compute_dtype)),

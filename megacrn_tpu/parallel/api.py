@@ -304,17 +304,32 @@ def make_road_node_train_step(
     (params, opt_state, loss)``; batches must be placed with ``shard_batch``.
     """
     from megacrn_tpu.kernels.spmm import ShardedRoadPacks, local_packs
+    from megacrn_tpu.kernels.spmm_ell_node import (ShardedNodeELL,
+                                                   local_node_ell)
 
     if model_cfg.graph_backend != "road_sparse":
         raise ValueError("make_road_node_train_step requires "
                          "graph_backend='road_sparse'")
-    if not isinstance(sharded_packs, ShardedRoadPacks):
+    if isinstance(sharded_packs, ShardedNodeELL):
+        to_local = local_node_ell
+        pspec = ShardedNodeELL(P(NODE_AXIS), P(NODE_AXIS),
+                               sharded_packs.n_loc, sharded_packs.n_full)
+    elif isinstance(sharded_packs, ShardedRoadPacks):
+        to_local = local_packs
+        # (S, D, ...) pack arrays: device dim over node, rest local. The
+        # spec container must flatten to the same pytree structure (incl.
+        # the static dims in aux), so it is built with the real n_loc/n_full.
+        pspec = ShardedRoadPacks(
+            *(P(None, NODE_AXIS) for _ in range(6)),
+            n_loc=sharded_packs.n_loc, n_full=sharded_packs.n_full)
+    else:
         raise ValueError("sharded_packs must come from "
-                         "kernels.spmm.shard_road_packs")
+                         "kernels.spmm.shard_road_packs or "
+                         "kernels.spmm_ell_node.shard_node_ell")
     axes = (DATA_AXIS, NODE_AXIS)
 
     def loss_fn(params, packs_arrays, x, y, y_cov, batches_seen, rng):
-        packs = local_packs(packs_arrays)
+        packs = to_local(packs_arrays)
         out = megacrn.forward(params, x, y_cov, model_cfg, labels=y,
                               batches_seen=batches_seen, rng=rng,
                               training=True, road_supports=packs,
@@ -324,12 +339,6 @@ def make_road_node_train_step(
 
     rep = P()
     bspec = P(DATA_AXIS, None, NODE_AXIS, None)  # (B, T, N, C)
-    # (S, D, ...) pack arrays: device dim over node, rest local. The spec
-    # container must flatten to the same pytree structure (incl. the static
-    # dims in aux), so it is built with the real n_loc/n_full.
-    pspec = ShardedRoadPacks(
-        *(P(None, NODE_AXIS) for _ in range(6)),
-        n_loc=sharded_packs.n_loc, n_full=sharded_packs.n_full)
 
     def step(params, opt_state, packs_arrays, x, y, y_cov, batches_seen,
              rng):
@@ -361,22 +370,31 @@ def make_road_node_eval_forward(model_cfg: MegaCRNConfig, mesh: Mesh,
     ``data``, nodes over ``node``, per-device row-block packs. Outputs come
     back as global arrays (metrics run on them outside)."""
     from megacrn_tpu.kernels.spmm import ShardedRoadPacks, local_packs
+    from megacrn_tpu.kernels.spmm_ell_node import (ShardedNodeELL,
+                                                   local_node_ell)
 
-    if not isinstance(sharded_packs, ShardedRoadPacks):
+    if isinstance(sharded_packs, ShardedNodeELL):
+        to_local = local_node_ell
+        pspec = ShardedNodeELL(P(NODE_AXIS), P(NODE_AXIS),
+                               sharded_packs.n_loc, sharded_packs.n_full)
+    elif isinstance(sharded_packs, ShardedRoadPacks):
+        to_local = local_packs
+        pspec = ShardedRoadPacks(
+            *(P(None, NODE_AXIS) for _ in range(6)),
+            n_loc=sharded_packs.n_loc, n_full=sharded_packs.n_full)
+    else:
         raise ValueError("sharded_packs must come from "
-                         "kernels.spmm.shard_road_packs")
+                         "kernels.spmm.shard_road_packs or "
+                         "kernels.spmm_ell_node.shard_node_ell")
 
     def fwd(params, packs_arrays, x, y_cov):
         return megacrn.forward(params, x, y_cov, model_cfg,
-                               road_supports=local_packs(packs_arrays),
+                               road_supports=to_local(packs_arrays),
                                ring_axis=NODE_AXIS)
 
     rep = P()
     bspec = P(DATA_AXIS, None, NODE_AXIS, None)  # (B, T, N, C)
     nspec = P(DATA_AXIS, NODE_AXIS, None)  # (B, N, mem_dim)
-    pspec = ShardedRoadPacks(
-        *(P(None, NODE_AXIS) for _ in range(6)),
-        n_loc=sharded_packs.n_loc, n_full=sharded_packs.n_full)
     mapped = shard_map(
         fwd, mesh=mesh, in_specs=(rep, pspec, bspec, bspec),
         out_specs=megacrn.MegaCRNOutput(bspec, nspec, nspec, nspec, nspec),

@@ -108,3 +108,48 @@ def test_node_ell_trains():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_node_ell_mesh_node_partition_matches_single_device():
+    """Node-partitioned ELL train step on a (2, 4) mesh must reproduce the
+    single-device update (all-gather over the node axis; autodiff inserts
+    the dx scatter/psum_scatter)."""
+    from megacrn_tpu.config import MegaCRNConfig, TrainConfig
+    from megacrn_tpu.kernels.spmm_ell_node import shard_node_ell
+    from megacrn_tpu.models import megacrn
+    from megacrn_tpu.parallel.api import make_road_node_train_step
+    from megacrn_tpu.parallel.mesh import make_mesh, shard_batch
+    from megacrn_tpu.train.optim import make_optimizer
+    from megacrn_tpu.train.steps import make_train_step
+
+    n = 16
+    adj = synthetic_road_adjacency(n, avg_degree=4, seed=2)
+    s1, s2 = dual_random_walk_supports(adj)
+    cfg = MegaCRNConfig(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=4, seq_len=4, cl_decay_steps=10,
+                        graph_backend="road_sparse")
+    tcfg = TrainConfig(batch_size=8, lr=0.01)
+    params = megacrn.init_params(jax.random.PRNGKey(7), cfg)
+    opt = make_optimizer(tcfg, steps_per_epoch=10)
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    x = np.asarray(jax.random.normal(ks[0], (8, 4, n, 1)))
+    y = np.asarray(jax.random.normal(ks[1], (8, 4, n, 1)))
+    ycov = np.asarray(jax.random.normal(ks[2], (8, 4, n, 1)))
+    rng = jax.random.PRNGKey(9)
+    b = 5.0
+
+    base = make_train_step(cfg, tcfg, opt,
+                           road_supports=build_stacked_node_ell([s1, s2]))
+    p1, _, loss1 = base(params, opt.init(params), x, y, ycov, b, rng)
+
+    mesh = make_mesh(2, 4)
+    step = make_road_node_train_step(
+        cfg, tcfg, opt, mesh, shard_node_ell([s1, s2], 4), donate=False)
+    xs, ys, ycs = shard_batch((x, y, ycov), mesh)
+    p2, _, loss2 = step(params, opt.init(params), xs, ys, ycs,
+                        jnp.float32(b), rng)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-4)
