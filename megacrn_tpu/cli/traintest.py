@@ -218,9 +218,10 @@ def build_road_supports(args, model_cfg):
         from megacrn_tpu.ops.graph import dual_random_walk_supports
 
         s1, s2 = dual_random_walk_supports(adj)
-        # Single-device / DP path: node-level ELL (gather-based, the
-        # scalable form for ultra-sparse graphs) or the block-diagonal COO
-        # pack (tile-granular Mosaic/XLA kernels).
+        # Node-level ELL (gather-based, the scalable form for ultra-sparse
+        # graphs) or the block-diagonal COO pack (tile-granular Mosaic/XLA
+        # kernels) — the choice applies to single-device, DP, and the
+        # node-partitioned mesh path alike.
         impl = getattr(args, "road_impl", "auto")
         if impl == "auto":
             # TPU-measured policy (tools/backend_bench.json): the
@@ -230,7 +231,11 @@ def build_road_supports(args, model_cfg):
             # scale (84k tiles -> OOM at N=32768); node-ELL is near-flat in
             # N*B and wins from N~16k (430 vs dense 550 at 16384; only
             # survivor at 32768). Crossover between the two sits ~8192.
-            impl = "ell" if adj.shape[0] >= 8192 else "pallas"
+            # Keep impl='auto' on the tile branch so the tile-count
+            # fallback in build_stacked_road_pack still selects the
+            # seconds-to-compile XLA chain for launch-bound small packs
+            # (< AUTO_PALLAS_MIN_TILES, e.g. METR-LA N=207).
+            impl = "ell" if adj.shape[0] >= 8192 else "auto"
         if impl == "ell":
             from megacrn_tpu.kernels.spmm_ell_node import \
                 build_stacked_node_ell
@@ -240,7 +245,12 @@ def build_road_supports(args, model_cfg):
             stacked = build_stacked_road_pack([s1, s2], impl=impl)
         if getattr(args, "mesh_node", 1) > 1:
             # Node-partitioned packs for fit: each device owns its row
-            # block (parallel.api.make_road_node_train_step).
+            # block (parallel.api.make_road_node_train_step accepts both
+            # families); the single-device final evals keep the plain pack.
+            if impl == "ell":
+                from megacrn_tpu.kernels.spmm_ell_node import shard_node_ell
+
+                return shard_node_ell([s1, s2], args.mesh_node), stacked
             return shard_road_packs([s1, s2], args.mesh_node), stacked
         return stacked, stacked
     # sparse_meta: learned meta-graph restricted to the symmetrised edge

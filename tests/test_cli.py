@@ -63,3 +63,11 @@ def test_cli_road_sparse_node_partitioned_mesh(tmp_path):
     node-partitioned ShardedRoadPacks path."""
     _run(tmp_path, ["--graph_backend", "road_sparse",
                     "--mesh_data", "2", "--mesh_node", "4"])
+
+
+def test_cli_road_sparse_ell_node_partitioned_mesh(tmp_path):
+    """--road_impl ell with --mesh_node > 1 routes through the node-level
+    ELL ShardedNodeELL packs (the measured large-N backend) instead of the
+    tile packs — fit trains node-partitioned, final eval on the plain pack."""
+    _run(tmp_path, ["--graph_backend", "road_sparse", "--road_impl", "ell",
+                    "--mesh_data", "2", "--mesh_node", "4"])
