@@ -123,8 +123,12 @@ def _spmm_bwd(res, dy):
     nbr_t, w_t = res
     # dx = A^T @ dy through the transposed pack: gather-based, no scatter.
     dx = _ell_apply(nbr_t, w_t, dy)
+    # Integer primals (the nbr index arrays) formally take float0 cotangents
+    # — symbolic zeros of the correct tangent type, not int zeros (stricter
+    # JAX dtype checking rejects the latter).
+    int_zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     zero = lambda a: jnp.zeros_like(a)
-    return (zero(nbr_t), zero(w_t), zero(nbr_t), zero(w_t), dx)
+    return (int_zero(nbr_t), zero(w_t), int_zero(nbr_t), zero(w_t), dx)
 
 
 spmm_node_ell.defvjp(_spmm_fwd, _spmm_bwd)

@@ -417,9 +417,14 @@ def make_gts_mesh_train_step(
     node_feas,
     knn_prior,
     donate: bool = True,
+    gumbel_noise: bool = True,
 ) -> Callable:
     """Data-parallel GTS train step (shard_map over ``data``) — the second
     model family through the same explicit-collective layer.
+
+    ``gumbel_noise=False`` (the deterministic-parity mode) is honored here
+    exactly as in the single-device step, so mesh train and eval semantics
+    stay consistent.
 
     Same global-masked-loss construction as ``make_shardmap_train_step``.
     GTS specifics that make DP exact without extra collectives:
@@ -440,7 +445,8 @@ def make_gts_mesh_train_step(
 
     def loss_fn(params, bn_state, x, y, batches_seen, rng):
         out = gts.forward(params, bn_state, x, node_feas, cfg, labels=y,
-                          batches_seen=batches_seen, rng=rng, training=True)
+                          batches_seen=batches_seen, rng=rng, training=True,
+                          gumbel_noise=gumbel_noise)
         y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
         y_true = inverse_transform(y, scaler_std, scaler_mean)
         num, den = losses.masked_mae_sums(y_pred, y_true)

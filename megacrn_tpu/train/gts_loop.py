@@ -141,7 +141,8 @@ def fit_gts(cfg: GTSConfig, train_cfg: TrainConfig, data: Dict,
         from megacrn_tpu.parallel.mesh import DATA_AXIS
 
         train_step = make_gts_mesh_train_step(
-            cfg, train_cfg, optimizer, mesh, mean, std, node_feas, knn_prior)
+            cfg, train_cfg, optimizer, mesh, mean, std, node_feas, knn_prior,
+            gumbel_noise=gumbel_noise)
         dp = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
         place = lambda a: jax.device_put(a, dp)
     else:

@@ -437,6 +437,44 @@ def test_gts_mesh_train_step_matches_single_device():
                                    atol=1e-6, rtol=1e-6)
 
 
+def test_gts_mesh_train_step_honors_gumbel_noise_flag():
+    """gumbel_noise=False (deterministic-parity mode) must reach the mesh
+    step too: a mesh gumbel_noise=False update equals the single-device
+    gumbel_noise=False update (before the fix the mesh step silently
+    trained WITH Gumbel noise)."""
+    from megacrn_tpu.config import GTSConfig
+    from megacrn_tpu.data.graph_prior import cosine_knn_graph
+    from megacrn_tpu.models import gts
+    from megacrn_tpu.parallel.api import make_gts_mesh_train_step
+    from megacrn_tpu.train.gts_loop import make_gts_train_step
+    import optax
+
+    cfg = GTSConfig(num_nodes=10, input_dim=1, output_dim=1, horizon=3,
+                    seq_len=3, rnn_units=8, max_diffusion_step=2,
+                    train_series_len=60, knn_k=3)
+    params, bn_state = gts.init_params(jax.random.PRNGKey(5), cfg)
+    feas = np.asarray(jax.random.normal(jax.random.PRNGKey(6), (60, 10)),
+                      np.float32)
+    knn = cosine_knn_graph(feas, 3)
+    opt = optax.adam(0.005, eps=1e-3)
+    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    x = np.asarray(jax.random.normal(ks[0], (8, 3, 10, 1)), np.float32)
+    y = np.asarray(jax.random.normal(ks[1], (8, 3, 10, 1)), np.float32)
+    rng = jax.random.PRNGKey(8)
+
+    base = make_gts_train_step(cfg, TCFG, opt, 0.0, 1.0, feas, knn,
+                               gumbel_noise=False)
+    _, _, _, loss1 = base(params, bn_state, opt.init(params), x, y,
+                          jnp.float32(2.0), rng)
+
+    mesh = make_mesh(2, 4)
+    step = make_gts_mesh_train_step(cfg, TCFG, opt, mesh, 0.0, 1.0, feas,
+                                    knn, donate=False, gumbel_noise=False)
+    _, _, _, loss2 = step(params, bn_state, opt.init(params), x, y,
+                          jnp.float32(2.0), rng)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+
+
 def test_fit_gts_with_mesh_end_to_end(tmp_path):
     """Full GTS harness training data-parallel on the virtual mesh."""
     from megacrn_tpu.config import GTSConfig

@@ -98,9 +98,9 @@ def run_torch(model, data, model_cfg, train_cfg, ckpt_path,
     lr_scheduler = torch.optim.lr_scheduler.MultiStepLR(
         optimizer, milestones=list(train_cfg.lr_milestones),
         gamma=train_cfg.lr_decay_ratio)
-    min_val, batches_seen = float("inf"), 0
+    min_val, batches_seen, wait = float("inf"), 0, 0
     traj = []
-    for _ in range(train_cfg.epochs):
+    for epoch in range(train_cfg.epochs):
         model.train()
         for x, y, yc in batches(data["train_loader"]):
             optimizer.zero_grad()
@@ -115,16 +115,30 @@ def run_torch(model, data, model_cfg, train_cfg, ckpt_path,
         lr_scheduler.step()
         val = evaluate(data["val_loader"])
         traj.append(val)
+        print(f"[torch] epoch {epoch + 1} val {val['loss']:.6f}", flush=True)
+        # Early stop exactly as the reference (traintest_MegaCRN.py:141-150):
+        # best-val checkpoint on improvement, wait counter otherwise, break
+        # when the counter hits patience.
         if val["loss"] < min_val:
             min_val = val["loss"]
+            wait = 0
             torch.save(model.state_dict(), ckpt_path)
+        else:
+            wait += 1
+            if wait == train_cfg.patience:
+                break
     model.load_state_dict(torch.load(ckpt_path))
     test = evaluate(data["test_loader"])
     return {"val_trajectory": traj, "test": test, "best_val": min_val}
 
 
 def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
-               mem_dim=None, batch_size=64, protocol="canonical"):
+               mem_dim=None, batch_size=64, protocol="canonical",
+               patience=None, milestones=None):
+    """``patience``/``milestones`` default to the no-early-stop, single-
+    late-milestone setup of the short parity runs; the converged experiment
+    passes real values so both sides cross LR decays and early-stop on
+    their own val plateaus (model/traintest_MegaCRN.py:104-105,146-150)."""
     import jax
 
     # Full-f32 comparison against CPU torch: TPU f32 matmuls are bf16-pass
@@ -145,6 +159,9 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
     from megacrn_tpu.train.loop import fit
 
     mem_dim = units if mem_dim is None else mem_dim
+    patience = epochs + 1 if patience is None else patience
+    milestones = ((max(epochs - 1, 1),) if milestones is None
+                  else tuple(milestones))
     model_cfg = MegaCRNConfig(num_nodes=nodes, rnn_units=units,
                               mem_num=mem_num, mem_dim=mem_dim, horizon=seq,
                               seq_len=seq, use_curriculum_learning=False)
@@ -154,15 +171,15 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
         # converted, so reinit_xavier_uniform stays False here (identical
         # weights by construction, not by matching RNG draws).
         train_cfg = TrainConfig(batch_size=batch_size, epochs=epochs,
-                                patience=epochs + 1, seed=0, lr=0.001,
+                                patience=patience, seed=0, lr=0.001,
                                 epsilon=1e-8, max_grad_norm=None,
                                 lamb=0.01, lamb1=0.0,
                                 pred_loss="l1_normalized",
-                                lr_milestones=(max(epochs - 1, 1),))
+                                lr_milestones=milestones)
     else:
         train_cfg = TrainConfig(batch_size=batch_size, epochs=epochs,
-                                patience=epochs + 1, seed=0,
-                                lr_milestones=(max(epochs - 1, 1),))
+                                patience=patience, seed=0,
+                                lr_milestones=milestones)
     data = build_synthetic(num_nodes=nodes, num_steps=steps, seq_len=seq,
                            horizon=seq, batch_size=batch_size, seed=3)
 
@@ -209,7 +226,8 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
         "config": {"nodes": nodes, "epochs": epochs, "steps": steps,
                    "seq": seq, "units": units, "mem_num": mem_num,
                    "mem_dim": mem_dim, "batch_size": batch_size,
-                   "protocol": protocol},
+                   "protocol": protocol, "patience": patience,
+                   "milestones": list(milestones)},
         "torch": {"val_trajectory": torch_res["val_trajectory"],
                   "test": torch_res["test"],
                   "best_val": torch_res["best_val"]},
@@ -325,6 +343,10 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--protocol", type=str, default="canonical",
                    choices=["canonical", "expytky"])
+    p.add_argument("--patience", type=int, default=None,
+                   help="early-stop patience (default: no early stop)")
+    p.add_argument("--milestones", type=eval, default=None,
+                   help="lr milestone epochs, e.g. [8,16]")
     p.add_argument("--tag", type=str, default=None,
                    help="section name in PARITY.md (default: protocol-N<nodes>)")
     p.add_argument("--report", action="store_true",
@@ -333,7 +355,8 @@ if __name__ == "__main__":
     res = run_parity(epochs=a.epochs, nodes=a.nodes, steps=a.steps,
                      seq=a.seq, units=a.units, mem_num=a.mem_num,
                      mem_dim=a.mem_dim, batch_size=a.batch,
-                     protocol=a.protocol)
+                     protocol=a.protocol, patience=a.patience,
+                     milestones=a.milestones)
     print(json.dumps(res, indent=1))
     if a.report:
         record_and_report(a.tag or f"{a.protocol}-N{a.nodes}", res)
