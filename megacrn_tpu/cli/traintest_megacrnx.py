@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_nodes", type=int, default=None,
                    help="override node count (SYNTH; METRLA=207, PEMSBAY=325)")
     p.add_argument("--synth_steps", type=int, default=2000)
+    # mesh (no reference counterpart — the TPU data-parallel path)
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_node", type=int, default=1)
     return p
 
 
@@ -120,8 +123,14 @@ def main(argv=None):
         lamb1=args.lamb1, trainval_ratio=args.trainval_ratio,
         val_ratio=args.val_ratio, seed=args.seed)
 
+    mesh = None
+    if args.mesh_data * args.mesh_node > 1:
+        from megacrn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_data, args.mesh_node)
+
     run = RunDir(args.save_dir, args.dataset, model_name="MegaCRNx")
-    result = fit_megacrnx(model_cfg, train_cfg, data, run)
+    result = fit_megacrnx(model_cfg, train_cfg, data, run, mesh=mesh)
     print({k: v for k, v in result["test_metrics"].items()
            if k != "per_step"})
     return result

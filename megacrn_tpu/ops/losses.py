@@ -87,6 +87,20 @@ def masked_mae(preds, labels, null_val: float = 1e-3):
     return jnp.mean(_NAN_FIX(loss))
 
 
+def masked_mae_null_sums(preds, labels, null_val: float = 1e-3):
+    """Distributive decomposition of ``masked_mae`` (the null_val flavor),
+    mirroring ``masked_mae_sums``: returns ``(sum(nanfix(|err| * mask)),
+    sum(mask))`` with the binary ``labels > null_val`` mask, so shards can
+    psum both and divide once for the exact global masked mean."""
+    if null_val != null_val:  # NaN sentinel
+        mask = ~jnp.isnan(labels)
+    else:
+        mask = labels > null_val
+    mask = mask.astype(jnp.float32)
+    num = jnp.sum(_NAN_FIX(jnp.abs(preds - labels) * mask))
+    return num, jnp.sum(mask)
+
+
 def masked_mse(preds, labels, null_val: float = 1e-3):
     """model/utils.py:81-92."""
     loss = jnp.square(preds - labels) * _null_mask(labels, null_val)

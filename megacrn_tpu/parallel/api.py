@@ -475,6 +475,79 @@ def make_gts_mesh_train_step(
     return jax.jit(mapped, donate_argnums=donate_argnums)
 
 
+def make_megacrnx_mesh_train_step(
+    model_cfg,
+    train_cfg,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    scaler_mean: float,
+    scaler_std: float,
+    donate: bool = True,
+) -> Callable:
+    """Data-parallel MegaCRNx train step (shard_map over ``data``) — the
+    third model family through the explicit-collective layer.
+
+    Same construction as ``make_shardmap_train_step``: the MaskMAE
+    prediction loss psums its masked numerator/denominator over ``data``
+    and divides once (exact global masked mean under uneven mask density,
+    via ``losses.masked_mae_null_sums`` — the null_val=1e-3 flavor the
+    MegaCRNx protocol uses, model_futurework/utils.py:98-109); the plain
+    MAE flavor psums sum/count; aux memory losses are equal-shard means,
+    pmean'd. The step is deterministic (no scheduled sampling in MegaCRNx)
+    so no RNG threading is needed. Returns jitted ``(params, opt_state, x,
+    y_raw, y_cov) -> (params, opt_state, (loss, l1, l2, l3))`` with the
+    same signature as the single-device ``make_megacrnx_train_step``;
+    batch must divide by the mesh ``data`` axis.
+    """
+    from megacrn_tpu.models import megacrnx
+
+    def loss_fn(params, x, y, y_cov):
+        out = megacrnx.forward(params, x, y_cov, model_cfg)
+        y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
+        if train_cfg.loss == "MaskMAE":
+            num, den = losses.masked_mae_null_sums(y_pred, y, null_val=1e-3)
+            num = jax.lax.psum(num, DATA_AXIS)
+            den = jax.lax.psum(den, DATA_AXIS)
+            l1 = num / jnp.maximum(den, 1.0)
+        elif train_cfg.loss == "MAE":
+            err = jnp.abs(y_pred - y)
+            total = jax.lax.psum(jnp.sum(err), DATA_AXIS)
+            count = jax.lax.psum(jnp.asarray(err.size, err.dtype), DATA_AXIS)
+            l1 = total / count
+        else:
+            raise ValueError(f"unknown loss {train_cfg.loss!r}")
+        if out.query is None:  # memory_type=False ablation
+            zero = jnp.zeros((), y_pred.dtype)
+            l2 = l3 = zero
+        else:
+            pos = jax.lax.stop_gradient(out.pos)
+            neg = jax.lax.stop_gradient(out.neg)
+            l2 = jax.lax.pmean(
+                losses.triplet_margin_loss(out.query, pos, neg, margin=1.0),
+                DATA_AXIS)
+            l3 = jax.lax.pmean(losses.mse(out.query, pos), DATA_AXIS)
+        total = l1 + train_cfg.lamb * l2 + train_cfg.lamb1 * l3
+        return total, (l1, l2, l3)
+
+    rep = P()
+    bspec = P(DATA_AXIS)
+
+    def step(params, opt_state, x, y, y_cov):
+        (total, (l1, l2, l3)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, x, y, y_cov)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, (total, l1, l2, l3)
+
+    mapped = shard_map(step, mesh=mesh,
+                       in_specs=(rep, rep, bspec, bspec, bspec),
+                       out_specs=(rep, rep, (rep, rep, rep, rep)),
+                       check_rep=False)
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(mapped, donate_argnums=donate_argnums)
+
+
 def make_shardmap_eval_forward(model_cfg: MegaCRNConfig, mesh: Mesh,
                                road_supports=None) -> Callable:
     """Data-parallel eval forward via shard_map (any backend incl. Pallas)."""

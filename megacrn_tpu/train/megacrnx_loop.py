@@ -171,6 +171,7 @@ def fit_megacrnx(
     *,
     max_epochs: Optional[int] = None,
     initial_params=None,
+    mesh=None,
 ) -> Dict:
     """Train MegaCRNx with the model_futurework protocol.
 
@@ -178,6 +179,13 @@ def fit_megacrnx(
     ``ycov_trainval``, ``x_test``/``y_test``/``ycov_test`` likewise, and
     scalar ``scaler_mean``/``scaler_std``. Windowing per
     ``megacrn_tpu.data.windowing.ratio_windows``.
+
+    ``mesh``: optional jax.sharding.Mesh — full-size batches train
+    data-parallel through the explicit shard_map step
+    (``parallel.api.make_megacrnx_mesh_train_step``); the protocol's
+    drop_last=False tail batch (whose size need not divide the data axis)
+    falls back to the single-device step — identical math either way, so
+    the trajectory is unchanged. Eval runs single-device as in ``fit_gts``.
     Returns {params (best), best_val, test_metrics, epochs_run}.
     """
     logger = run.get_logger()
@@ -213,6 +221,14 @@ def fit_megacrnx(
 
     train_step = make_megacrnx_train_step(model_cfg, train_cfg, optimizer,
                                           mean, std)
+    mesh_step, mesh_data_ax = None, 1
+    if mesh is not None:
+        from megacrn_tpu.parallel.api import make_megacrnx_mesh_train_step
+        from megacrn_tpu.parallel.mesh import DATA_AXIS
+
+        mesh_step = make_megacrnx_mesh_train_step(
+            model_cfg, train_cfg, optimizer, mesh, mean, std)
+        mesh_data_ax = mesh.shape[DATA_AXIS]
     eval_step = make_megacrnx_eval_step(model_cfg, train_cfg, mean, std)
 
     min_val_loss = float("inf")
@@ -225,7 +241,9 @@ def fit_megacrnx(
         n = 0
         step_i = 0
         for x, y, yc in train_iter:
-            params, opt_state, vals = train_step(params, opt_state, x, y, yc)
+            use_mesh = mesh_step is not None and x.shape[0] % mesh_data_ax == 0
+            active_step = mesh_step if use_mesh else train_step
+            params, opt_state, vals = active_step(params, opt_state, x, y, yc)
             sums += np.array(jax.device_get(vals)) * x.shape[0]
             n += x.shape[0]
             step_i += 1

@@ -63,6 +63,62 @@ def test_cli_loss_mae_flavor(tmp_path):
     assert np.isfinite(result["test_metrics"]["mae"])
 
 
+def test_mesh_train_step_matches_single_device():
+    """MegaCRNx (the third model family) through the explicit shard_map DP
+    layer: mesh update == single-device update, including the global
+    MaskMAE normalization with sub-null targets concentrated in one batch
+    shard (mask density differs across shards)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from megacrn_tpu.models import megacrnx
+    from megacrn_tpu.parallel.api import make_megacrnx_mesh_train_step
+    from megacrn_tpu.parallel.mesh import make_mesh
+    from megacrn_tpu.train.megacrnx_loop import (MegaCRNxTrainConfig,
+                                                 make_megacrnx_train_step)
+
+    cfg = megacrnx.MegaCRNxConfig(num_nodes=10, input_dim=1, output_dim=1,
+                                  horizon=3, seq_len=3, rnn_units=8,
+                                  mem_num=4, mem_dim=8)
+    tcfg = MegaCRNxTrainConfig(batch_size=8, lr=1e-3)
+    params = megacrnx.init_params(jax.random.PRNGKey(0), cfg)
+    # SGD for the parity check: its update is proportional to the gradient,
+    # so float-reassociation noise stays at noise scale (a first Adam step
+    # is lr*sign(g) — near-zero grads flip sign and blow the comparison).
+    opt = optax.sgd(tcfg.lr)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = np.asarray(jax.random.normal(ks[0], (8, 3, 10, 1)), np.float32)
+    y = np.array(jax.random.uniform(ks[1], (8, 3, 10, 1)) * 50, np.float32)
+    y[:3] = 0.0  # below null_val=1e-3 — masked rows land in one shard
+    yc = np.asarray(jax.random.uniform(ks[2], (8, 3, 10, 1)), np.float32)
+
+    base = make_megacrnx_train_step(cfg, tcfg, opt, 1.5, 2.0, donate=False)
+    p1, _, v1 = base(params, opt.init(params), x, y, yc)
+
+    mesh = make_mesh(2, 4)
+    step = make_megacrnx_mesh_train_step(cfg, tcfg, opt, mesh, 1.5, 2.0,
+                                         donate=False)
+    p2, _, v2 = step(params, opt.init(params), x, y, yc)
+    for a, b in zip(v1, v2):
+        np.testing.assert_allclose(float(b), float(a), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_cli_trains_on_mesh(tmp_path):
+    """fit_megacrnx(mesh=...) e2e from the CLI: full batches train through
+    the shard_map DP step, the drop_last=False tail batch falls back to the
+    single-device step (all three families now train distributed)."""
+    result = main(BASE + ["--save_dir", str(tmp_path),
+                          "--mesh_data", "2", "--mesh_node", "4"])
+    assert result["epochs_run"] == 2
+    assert np.isfinite(result["best_val"])
+    assert np.isfinite(result["test_metrics"]["mae"])
+
+
 def test_training_reduces_loss(tmp_path):
     """The harness learns: later-epoch val beats epoch-0 val on synthetic."""
     import json, os
