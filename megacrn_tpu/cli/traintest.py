@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "only impl that fits N=32768); 'auto' picks "
                         "ell at N>=8192 else pallas (measured policy, "
                         "tools/backend_bench.json)")
+    p.add_argument("--sparse_meta_impl", type=str, default="node",
+                   choices=["node", "block"],
+                   help="sparse_meta granularity: 'node' (row-padded ELL "
+                        "slots, O(nnz) pattern bytes, trains at N=1843 B=64 "
+                        "without --remat) or 'block' (128x128 tiles — the "
+                        "MXU-batched form, needs --remat at scale)")
     p.add_argument("--dense_impl", type=str, default="recursive",
                    choices=["stacked", "recursive"],
                    help="dense aggregation: 'recursive' (default, measured "
@@ -255,11 +261,16 @@ def build_road_supports(args, model_cfg):
         return stacked, stacked
     # sparse_meta: learned meta-graph restricted to the symmetrised edge
     # pattern (+ self loops, so every row has at least one edge).
-    from megacrn_tpu.kernels.sparse_graph import build_block_pattern
-
     pat = ((adj != 0) | (adj.T != 0)).astype(np.float32)
     np.fill_diagonal(pat, 1.0)
-    pattern = build_block_pattern(pat)
+    if getattr(args, "sparse_meta_impl", "node") == "node":
+        from megacrn_tpu.kernels.sparse_graph_node import build_node_pattern
+
+        pattern = build_node_pattern(pat)
+    else:
+        from megacrn_tpu.kernels.sparse_graph import build_block_pattern
+
+        pattern = build_block_pattern(pat)
     return pattern, pattern
 
 

@@ -14,6 +14,20 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 
 
+def load_pickle(pickle_file: str):
+    """Reference-parity pickle loader (model/utils.py:162-172): retries with
+    latin1 encoding on UnicodeDecodeError — python2-era DCRNN sensor-graph
+    pickles (adj_mx.pkl) need it; anything else re-raises."""
+    import pickle
+
+    try:
+        with open(pickle_file, "rb") as f:
+            return pickle.load(f)
+    except UnicodeDecodeError:
+        with open(pickle_file, "rb") as f:
+            return pickle.load(f, encoding="latin1")
+
+
 class BatchLoader:
     def __init__(
         self,

@@ -103,23 +103,39 @@ def forward(
     if cfg.graph_backend == "sparse_meta":
         # Learned sparse meta-graph restricted to a static edge pattern
         # (framework extension for large N): SDDMM + masked row softmax +
-        # differentiable block SpMM (megacrn_tpu.kernels.sparse_graph).
-        from megacrn_tpu.kernels.sparse_graph import (
-            cheb_aggregate_learned_sparse, sparse_meta_graph)
+        # differentiable SpMM, in two granularities — node-level ELL
+        # (megacrn_tpu.kernels.sparse_graph_node, O(nnz) pattern bytes, no
+        # remat needed) or 128x128 tiles (megacrn_tpu.kernels.sparse_graph).
+        from megacrn_tpu.kernels.sparse_graph_node import (
+            NodeELLPattern, cheb_aggregate_learned_node,
+            sparse_meta_graph_node)
 
         if road_supports is None:
             raise ValueError("graph_backend='sparse_meta' requires "
-                             "road_supports=BlockPattern")
+                             "road_supports=NodeELLPattern or BlockPattern")
         pattern = road_supports
-        tiles = sparse_meta_graph(mem["Memory"], mem["We1"], mem["We2"],
-                                  pattern)
-        # Node-partition the learned graph on a mesh: tiles row-blocked over
-        # the node axis (GSPMD inserts the x gathers / dtile scatter-adds).
-        tiles = tuple(shard_fn("tiles", t) for t in tiles)
-        supports = tiles
+        if isinstance(pattern, NodeELLPattern):
+            weights = sparse_meta_graph_node(mem["Memory"], mem["We1"],
+                                             mem["We2"], pattern)
+            # Node-partition the learned graph on a mesh: (N, D) edge
+            # weights row-sharded over the node axis.
+            supports = tuple(shard_fn("node_weights", w) for w in weights)
 
-        def aggregate(tiles_, x_, k_):
-            return cheb_aggregate_learned_sparse(tiles_, pattern, x_, k_)
+            def aggregate(weights_, x_, k_):
+                return cheb_aggregate_learned_node(weights_, pattern, x_, k_)
+
+        else:
+            from megacrn_tpu.kernels.sparse_graph import (
+                cheb_aggregate_learned_sparse, sparse_meta_graph)
+
+            tiles = sparse_meta_graph(mem["Memory"], mem["We1"], mem["We2"],
+                                      pattern)
+            # Tiles row-blocked over the node axis (GSPMD inserts the x
+            # gathers / dtile scatter-adds).
+            supports = tuple(shard_fn("tiles", t) for t in tiles)
+
+            def aggregate(tiles_, x_, k_):
+                return cheb_aggregate_learned_sparse(tiles_, pattern, x_, k_)
 
     elif cfg.graph_backend == "road_sparse":
         # Static sparse road supports through the Pallas SpMM kernel; the

@@ -78,6 +78,8 @@ def make_shard_fn(mesh: Mesh):
         # node — the block-sparse aggregation partitions by output rows
         # instead of replicating the learned graph.
         "tiles": P(NODE_AXIS, None, None, None),
+        # sparse_meta node-granular (N, D) edge weights: rows over node.
+        "node_weights": P(NODE_AXIS, None),
     }
 
     def shard_fn(kind, t):

@@ -46,12 +46,19 @@ def _reinit_xavier_uniform(params, key):
 
 def evaluate(eval_step, loader: BatchLoader, model_cfg: MegaCRNConfig,
              input_dim: int, output_dim: int) -> Dict[str, float]:
+    device_metrics = []
     batch_metrics = []
     for x, y in loader:
         x0, y0, y_cov = prepare_x_y(x, y, input_dim, output_dim)
-        # One host transfer per batch (a per-scalar float() would pay the
-        # tunnel round-trip ~16x per batch).
-        batch_metrics.append(jax.device_get(eval_step(x0, y0, y_cov)))
+        device_metrics.append(eval_step(x0, y0, y_cov))
+        # Drain in blocks of 10: one host transfer per block amortizes the
+        # tunnel round-trip ~10x vs a per-batch device_get, while still
+        # bounding the dispatch queue (deep unsynced queues wedge the axon
+        # tunnel — CLAUDE.md).
+        if len(device_metrics) >= 10:
+            batch_metrics.extend(jax.device_get(device_metrics))
+            device_metrics.clear()
+    batch_metrics.extend(jax.device_get(device_metrics))
     return summarize_eval(batch_metrics, model_cfg.horizon)
 
 

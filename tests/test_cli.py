@@ -30,7 +30,12 @@ def test_cli_road_sparse_backend(tmp_path):
 
 
 def test_cli_sparse_meta_backend(tmp_path):
-    _run(tmp_path, ["--graph_backend", "sparse_meta"])
+    _run(tmp_path, ["--graph_backend", "sparse_meta"])  # default: node impl
+
+
+def test_cli_sparse_meta_block_impl(tmp_path):
+    _run(tmp_path, ["--graph_backend", "sparse_meta",
+                    "--sparse_meta_impl", "block"])
 
 
 def test_cli_dense_ring_on_mesh(tmp_path):

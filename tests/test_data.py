@@ -144,3 +144,38 @@ def test_one_hot_time_feature_layout():
     assert f[0, -1] == 0.0
     f2 = one_hot_time_feature(index, holiday_fn=lambda ts: True)
     assert np.all(f2[:, -1] == 1.0)
+
+
+def test_load_pickle_latin1_fallback(tmp_path):
+    """model/utils.py:162-172 semantics: plain pickles load directly;
+    python2-era latin1 payloads load through the encoding fallback."""
+    import pickle
+
+    from megacrn_tpu.data.loader import load_pickle
+
+    plain = tmp_path / "plain.pkl"
+    with open(plain, "wb") as f:
+        pickle.dump({"adj": [1, 2, 3]}, f)
+    assert load_pickle(str(plain))["adj"] == [1, 2, 3]
+
+    legacy = tmp_path / "legacy.pkl"
+    with open(legacy, "wb") as f:
+        # protocol 0 with non-ascii STRING (not unicode) bytes — the
+        # python2 pickle shape that trips the default decoder.
+        f.write(b"S'\xe9\xe9'\np0\n.")
+    assert load_pickle(str(legacy)) == "\xe9\xe9"
+
+
+def test_one_hot_time_feature_calendar_injection():
+    """A date-specific calendar (the jpholiday stand-in) flags exactly its
+    holidays, OR'd with weekends — the reference semantics
+    (model_EXPYTKY/utils.py:122: jpholiday | saturday | sunday)."""
+    from megacrn_tpu.data.windowing import one_hot_time_feature
+
+    # 2021-10-04 (Mon) .. 2021-10-10 (Sun), one sample per day.
+    index = (np.datetime64("2021-10-04T00:00") +
+             np.arange(7) * np.timedelta64(1, "D"))
+    calendar = lambda ts: ts.strftime("%Y-%m-%d") == "2021-10-06"
+    f = one_hot_time_feature(index, holiday_fn=calendar)
+    # Wednesday the 6th via the calendar; Sat/Sun via the weekend OR.
+    np.testing.assert_array_equal(f[:, -1], [0, 0, 1, 0, 0, 1, 1])

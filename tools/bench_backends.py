@@ -63,11 +63,16 @@ def make_supports(backend, adj):
             return build_stacked_node_ell([s1, s2])
         impl = "xla" if backend == "road_sparse_xla" else "pallas"
         return build_stacked_road_pack([s1, s2], impl=impl)
-    if backend == "sparse_meta":
-        from megacrn_tpu.kernels.sparse_graph import build_block_pattern
-
+    if backend.startswith("sparse_meta"):
         pat = ((adj != 0) | (adj.T != 0)).astype(np.float32)
         np.fill_diagonal(pat, 1.0)
+        if backend == "sparse_meta_node":
+            from megacrn_tpu.kernels.sparse_graph_node import \
+                build_node_pattern
+
+            return build_node_pattern(pat)
+        from megacrn_tpu.kernels.sparse_graph import build_block_pattern
+
         return build_block_pattern(pat)
     raise ValueError(backend)
 
@@ -86,6 +91,8 @@ def bench_backend(backend, adj, n, batch, steps, compute_dtype):
         graph_backend = "road_sparse"
     elif backend.startswith("dense"):
         graph_backend = "dense"
+    elif backend.startswith("sparse_meta"):
+        graph_backend = "sparse_meta"
     else:
         graph_backend = backend
     cfg = MegaCRNConfig(num_nodes=n, seq_len=seq, horizon=horizon,
@@ -99,9 +106,11 @@ def bench_backend(backend, adj, n, batch, steps, compute_dtype):
                                     if backend == "dense_stacked"
                                     else "recursive"),
                         compute_dtype=compute_dtype,
-                        # sparse_meta's gathered (nblk, R, 128, B*C) x-tiles
-                        # saved per scan step OOM 16GB HBM at N=1843 B=64;
-                        # remat recomputes them in the backward.
+                        # The TILE sparse_meta's gathered (nblk, R, 128,
+                        # B*C) x-tiles saved per scan step OOM 16GB HBM at
+                        # N=1843 B=64; remat recomputes them in the
+                        # backward. The node-granular impl retains only
+                        # (N, D) weights + (N, F) features — no remat.
                         remat=(backend == "sparse_meta"))
     tcfg = TrainConfig(lr=1e-3, max_grad_norm=None, lamb=0.01, lamb1=0.0,
                        pred_loss="l1_normalized", batch_size=batch)
@@ -146,7 +155,7 @@ def bench_backend(backend, adj, n, batch, steps, compute_dtype):
         nnz = int(np.count_nonzero(np.asarray(supports.pack.w)))
     elif backend.startswith("road_sparse"):
         nnz = int(np.count_nonzero(np.asarray(supports.pack.data)))
-    else:  # sparse_meta: tile-granular compute
+    else:  # sparse_meta (both granularities): true pattern edges x 2 sup
         nnz = 2 * int(np.asarray(supports.mask).sum())
     apps = 2  # cheb_k - 1
     aggs = 2  # [x||h] stack + candidate stack
