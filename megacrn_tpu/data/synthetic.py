@@ -20,8 +20,15 @@ def synthetic_speed_series(
     seed: int = 0,
     missing_rate: float = 0.02,
     start: str = "2012-03-01",
+    min_speed: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (values (T, N) float32 speeds in ~[0, 70], datetime64 index)."""
+    """Returns (values (T, N) float32 speeds in ~[0, 70], datetime64 index).
+
+    ``min_speed``: lower clip bound. The default 0 permits arbitrarily small
+    positive speeds, which make MAPE ill-conditioned (|err/y| explodes);
+    parity fixtures that compare MAPE pass a real-traffic floor (e.g. 20)
+    so all four metrics are well-conditioned. Missing values are exact
+    zeros either way (masked by the loss/metrics)."""
     rng = np.random.RandomState(seed)
     steps_per_day = 24 * 60 // interval_minutes
     t = np.arange(num_steps)
@@ -40,7 +47,7 @@ def synthetic_speed_series(
     for i in range(1, num_steps):
         noise[i] = 0.8 * noise[i - 1] @ mix.T + eps[i]
 
-    values = np.clip(base + noise, 0.0, 70.0)
+    values = np.clip(base + noise, min_speed, 70.0)
     values[rng.rand(num_steps, num_nodes) < missing_rate] = 0.0
 
     index = (np.datetime64(start) +

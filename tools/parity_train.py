@@ -180,8 +180,13 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
         train_cfg = TrainConfig(batch_size=batch_size, epochs=epochs,
                                 patience=patience, seed=0,
                                 lr_milestones=milestones)
+    # The expytky fixture compares MAPE, which is ill-conditioned on targets
+    # passing near zero — floor the synthetic speeds at a real-traffic 20
+    # so all four metrics demonstrate parity (canonical fixtures keep the
+    # historical 0-floor data for trajectory continuity across rounds).
     data = build_synthetic(num_nodes=nodes, num_steps=steps, seq_len=seq,
-                           horizon=seq, batch_size=batch_size, seed=3)
+                           horizon=seq, batch_size=batch_size, seed=3,
+                           min_speed=20.0 if protocol == "expytky" else 0.0)
 
     torch.manual_seed(7)
     tmodel = TorchMegaCRN(
@@ -283,11 +288,12 @@ def write_report(runs: dict, path="PARITY.md"):
         "(other model families); asserted in CI by",
         "`tests/test_parity_e2e.py` at smaller configurations.",
         "",
-        "Note on MAPE: on synthetic data whose targets pass near zero the",
-        "percentage error is ill-conditioned (|err/y| explodes), so tiny",
-        "prediction differences produce large MAPE deltas; MAE/RMSE and the",
-        "val-loss trajectory are the conditioning-robust parity evidence",
-        "(MAPE agrees to ~1e-2 rel on real-scale data, test_parity_e2e).",
+        "Note on MAPE: percentage error is ill-conditioned on targets that",
+        "pass near zero (|err/y| explodes). The expytky fixture therefore",
+        "uses speed-like targets floored at 20 (synthetic_speed_series",
+        "min_speed), making all four metrics well-conditioned parity",
+        "evidence; the canonical fixtures keep the historical 0-floor data",
+        "(MAE/RMSE and val-loss trajectories carry the comparison there).",
         "",
         "Note on scale (canonical-metrla-N207): at the published lr=0.01",
         "the epoch-1 val losses differ ~4% before re-converging to <0.1% by",
