@@ -134,7 +134,7 @@ def run_torch(model, data, model_cfg, train_cfg, ckpt_path,
 
 def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
                mem_dim=None, batch_size=64, protocol="canonical",
-               patience=None, milestones=None):
+               patience=None, milestones=None, lr=None, min_speed=None):
     """``patience``/``milestones`` default to the no-early-stop, single-
     late-milestone setup of the short parity runs; the converged experiment
     passes real values so both sides cross LR decays and early-stop on
@@ -179,14 +179,17 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
     else:
         train_cfg = TrainConfig(batch_size=batch_size, epochs=epochs,
                                 patience=patience, seed=0,
-                                lr_milestones=milestones)
+                                lr_milestones=milestones,
+                                **({} if lr is None else {"lr": lr}))
     # The expytky fixture compares MAPE, which is ill-conditioned on targets
     # passing near zero — floor the synthetic speeds at a real-traffic 20
     # so all four metrics demonstrate parity (canonical fixtures keep the
     # historical 0-floor data for trajectory continuity across rounds).
+    if min_speed is None:
+        min_speed = 20.0 if protocol == "expytky" else 0.0
     data = build_synthetic(num_nodes=nodes, num_steps=steps, seq_len=seq,
                            horizon=seq, batch_size=batch_size, seed=3,
-                           min_speed=20.0 if protocol == "expytky" else 0.0)
+                           min_speed=min_speed)
 
     torch.manual_seed(7)
     tmodel = TorchMegaCRN(
@@ -232,7 +235,8 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
                    "seq": seq, "units": units, "mem_num": mem_num,
                    "mem_dim": mem_dim, "batch_size": batch_size,
                    "protocol": protocol, "patience": patience,
-                   "milestones": list(milestones)},
+                   "milestones": list(milestones), "lr": lr,
+                   "min_speed": min_speed},
         "torch": {"val_trajectory": torch_res["val_trajectory"],
                   "test": torch_res["test"],
                   "best_val": torch_res["best_val"]},
@@ -353,6 +357,10 @@ if __name__ == "__main__":
                    help="early-stop patience (default: no early stop)")
     p.add_argument("--milestones", type=eval, default=None,
                    help="lr milestone epochs, e.g. [8,16]")
+    p.add_argument("--lr", type=float, default=None,
+                   help="override the protocol lr")
+    p.add_argument("--min_speed", type=float, default=None,
+                   help="synthetic speed floor (MAPE conditioning)")
     p.add_argument("--tag", type=str, default=None,
                    help="section name in PARITY.md (default: protocol-N<nodes>)")
     p.add_argument("--report", action="store_true",
@@ -362,7 +370,8 @@ if __name__ == "__main__":
                      seq=a.seq, units=a.units, mem_num=a.mem_num,
                      mem_dim=a.mem_dim, batch_size=a.batch,
                      protocol=a.protocol, patience=a.patience,
-                     milestones=a.milestones)
+                     milestones=a.milestones, lr=a.lr,
+                     min_speed=a.min_speed)
     print(json.dumps(res, indent=1))
     if a.report:
         record_and_report(a.tag or f"{a.protocol}-N{a.nodes}", res)
