@@ -63,13 +63,14 @@ def bench_config(backend, n, batch, steps, seq=6, horizon=6):
     nnz = 2 * n * n
     if backend == "ell":
         from megacrn_tpu.data.synthetic import synthetic_road_adjacency
-        from megacrn_tpu.kernels.spmm_ell_node import build_stacked_node_ell
+        from megacrn_tpu.kernels.spmm_ell_node import (
+            build_stacked_node_ell, pack_nnz)
         from megacrn_tpu.ops.graph import dual_random_walk_supports
 
         s1, s2 = dual_random_walk_supports(
             synthetic_road_adjacency(n, avg_degree=6, seed=0))
         supports = build_stacked_node_ell([s1, s2])
-        nnz = int(np.count_nonzero(np.asarray(supports.pack.w)))
+        nnz = pack_nnz(supports)
         del s1, s2
 
     params = megacrn.init_params(jax.random.PRNGKey(0), cfg)

@@ -149,8 +149,8 @@ def forward(
                              "road_supports=[(pack, pack_t), ...] or a "
                              "StackedRoadPack")
         from megacrn_tpu.kernels.spmm_ell_node import (
-            LocalNodeELL, StackedNodeELL, cheb_aggregate_node_ell,
-            cheb_aggregate_node_ell_sharded)
+            BucketedStackedNodeELL, LocalNodeELL, StackedNodeELL,
+            cheb_aggregate_node_ell, cheb_aggregate_node_ell_sharded)
 
         supports = road_supports
         if isinstance(road_supports, LocalNodeELL):
@@ -164,12 +164,15 @@ def forward(
                 return cheb_aggregate_node_ell_sharded(pack_, x_, k_,
                                                        ring_axis)
 
-        elif isinstance(road_supports, StackedNodeELL):
+        elif isinstance(road_supports, (StackedNodeELL,
+                                        BucketedStackedNodeELL)):
             # Node-level ELL: gather + weighted reduce, scatter-free; the
             # scalable form for ultra-sparse road graphs where tile-granular
-            # packs explode (kernels/spmm_ell_node.py).
+            # packs explode (kernels/spmm_ell_node.py). The bucketed variant
+            # pads each degree bucket only to its own max (36-42% less
+            # gather traffic on road graphs).
             if road_supports.num_supports != cfg.num_supports:
-                raise ValueError("StackedNodeELL.num_supports != "
+                raise ValueError("node-ELL pack num_supports != "
                                  "cfg.num_supports")
             aggregate = cheb_aggregate_node_ell
         elif isinstance(road_supports, StackedRoadPack):
@@ -230,12 +233,17 @@ def forward(
             # Cast the static tile data; the Pallas kernels accumulate in
             # f32 (preferred_element_type) so only the MXU inputs narrow.
             from megacrn_tpu.kernels.spmm_coo import StackedRoadPack
-            from megacrn_tpu.kernels.spmm_ell_node import (LocalNodeELL,
-                                                           StackedNodeELL)
+            from megacrn_tpu.kernels.spmm_ell_node import (
+                BucketedStackedNodeELL, LocalNodeELL, StackedNodeELL)
 
             if isinstance(supports, LocalNodeELL):
                 supports = supports._replace(
                     w=supports.w.astype(compute_dtype))
+            elif isinstance(supports, BucketedStackedNodeELL):
+                cast_t = lambda t: tuple(a.astype(compute_dtype) for a in t)
+                supports = supports._replace(
+                    fwd_w=cast_t(supports.fwd_w),
+                    bwd_w=cast_t(supports.bwd_w))
             elif isinstance(supports, StackedNodeELL):
                 supports = supports._replace(
                     pack=supports.pack._replace(

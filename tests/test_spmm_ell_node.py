@@ -58,6 +58,41 @@ def test_node_ell_pack_is_runtime_arg_safe():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_node_ell_bucketed_equals_flat():
+    """Degree-bucketed pack == flat pack (values AND gradients): bucketing
+    only changes the gather layout (per-bucket max-degree padding + one
+    static un-permute), never the math."""
+    from megacrn_tpu.kernels.spmm_ell_node import (BucketedStackedNodeELL,
+                                                   StackedNodeELL, pack_nnz)
+
+    n = 64
+    adj = synthetic_road_adjacency(n, avg_degree=5, seed=1)
+    s1, s2 = dual_random_walk_supports(adj)
+    flat = build_stacked_node_ell([s1, s2], max_buckets=1)
+    bucketed = build_stacked_node_ell([s1, s2], max_buckets=4,
+                                      min_saving=0.0)
+    assert isinstance(flat, StackedNodeELL)
+    assert isinstance(bucketed, BucketedStackedNodeELL)
+    assert pack_nnz(flat) == pack_nnz(bucketed)
+    # Bucketing stores fewer padded slots than the flat layout.
+    flat_slots = flat.pack.w.shape[0] * flat.pack.w.shape[1]
+    bucket_slots = sum(int(np.prod(w.shape)) for w in bucketed.fwd_w)
+    assert bucket_slots <= flat_slots
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, n, 4))
+    for k in (2, 3):
+        a = cheb_aggregate_node_ell(flat, x, k)
+        b = cheb_aggregate_node_ell(bucketed, x, k)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=2e-5)
+    ga = jax.grad(lambda v: jnp.sum(jnp.sin(
+        cheb_aggregate_node_ell(flat, v, 3))))(x)
+    gb = jax.grad(lambda v: jnp.sum(jnp.sin(
+        cheb_aggregate_node_ell(bucketed, v, 3))))(x)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_node_ell_full_model_matches_dense_road():
     """road_sparse forward with the node-ELL pack == the COO-pack forward."""
     from megacrn_tpu.config import MegaCRNConfig

@@ -152,7 +152,9 @@ def bench_backend(backend, adj, n, batch, steps, compute_dtype):
     if backend.startswith("dense"):
         nnz = 2 * n * n
     elif backend == "road_sparse_ell":
-        nnz = int(np.count_nonzero(np.asarray(supports.pack.w)))
+        from megacrn_tpu.kernels.spmm_ell_node import pack_nnz
+
+        nnz = pack_nnz(supports)
     elif backend.startswith("road_sparse"):
         nnz = int(np.count_nonzero(np.asarray(supports.pack.data)))
     else:  # sparse_meta (both granularities): true pattern edges x 2 sup
