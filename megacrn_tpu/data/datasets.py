@@ -66,9 +66,11 @@ def build_from_series(values: np.ndarray, index, seq_len: int, horizon: int,
 def build_synthetic(num_nodes: int = 32, num_steps: int = 2000,
                     seq_len: int = 12, horizon: int = 12,
                     batch_size: int = 64, interval_minutes: int = 5,
-                    seed: int = 0, min_speed: float = 0.0, **kw) -> Dict:
+                    seed: int = 0, min_speed: float = 0.0,
+                    missing_rate: float = 0.02, **kw) -> Dict:
     values, index = synthetic_speed_series(
-        num_steps, num_nodes, interval_minutes, seed, min_speed=min_speed)
+        num_steps, num_nodes, interval_minutes, seed, min_speed=min_speed,
+        missing_rate=missing_rate)
     return build_from_series(values, index, seq_len, horizon, batch_size, **kw)
 
 

@@ -107,19 +107,24 @@ def forward(
         # (megacrn_tpu.kernels.sparse_graph_node, O(nnz) pattern bytes, no
         # remat needed) or 128x128 tiles (megacrn_tpu.kernels.sparse_graph).
         from megacrn_tpu.kernels.sparse_graph_node import (
-            NodeELLPattern, cheb_aggregate_learned_node,
-            sparse_meta_graph_node)
+            BucketedNodeELLPattern, NodeELLPattern,
+            cheb_aggregate_learned_node, sparse_meta_graph_node)
 
         if road_supports is None:
             raise ValueError("graph_backend='sparse_meta' requires "
                              "road_supports=NodeELLPattern or BlockPattern")
         pattern = road_supports
-        if isinstance(pattern, NodeELLPattern):
+        if isinstance(pattern, (NodeELLPattern, BucketedNodeELLPattern)):
             weights = sparse_meta_graph_node(mem["Memory"], mem["We1"],
                                              mem["We2"], pattern)
-            # Node-partition the learned graph on a mesh: (N, D) edge
-            # weights row-sharded over the node axis.
-            supports = tuple(shard_fn("node_weights", w) for w in weights)
+            if isinstance(pattern, NodeELLPattern):
+                # Node-partition the learned graph on a mesh: (N, D) edge
+                # weights row-sharded over the node axis. (The bucketed
+                # layout's degree-sorted rows do not align with contiguous
+                # node blocks; its O(nnz) weights stay replicated.)
+                weights = tuple(shard_fn("node_weights", w)
+                                for w in weights)
+            supports = weights
 
             def aggregate(weights_, x_, k_):
                 return cheb_aggregate_learned_node(weights_, pattern, x_, k_)
@@ -228,7 +233,10 @@ def forward(
         if cfg.graph_backend in ("dense", "dense_ring"):
             supports = supports.astype(compute_dtype)
         elif cfg.graph_backend == "sparse_meta":
-            supports = tuple(t.astype(compute_dtype) for t in supports)
+            # Learned weights: (N, D) arrays, or per-bucket tuples for the
+            # bucketed pattern — cast every array leaf either way.
+            supports = jax.tree_util.tree_map(
+                lambda t: t.astype(compute_dtype), supports)
         elif cfg.graph_backend == "road_sparse":
             # Cast the static tile data; the Pallas kernels accumulate in
             # f32 (preferred_element_type) so only the MXU inputs narrow.

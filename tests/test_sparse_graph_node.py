@@ -35,7 +35,7 @@ def test_sddmm_node_matches_dense_masked():
     n, dim = 60, 7
     rng = np.random.RandomState(0)
     adj = (rng.rand(n, n) < 0.08).astype(np.float32)
-    pattern = build_node_pattern(adj)
+    pattern = build_node_pattern(adj, max_buckets=1)
     e1 = rng.randn(n, dim).astype(np.float32)
     e2 = rng.randn(n, dim).astype(np.float32)
     scores = sddmm_node(jnp.asarray(e1), jnp.asarray(e2), pattern.nbr,
@@ -50,7 +50,7 @@ def test_node_row_softmax_rows_sum_to_one():
     rng = np.random.RandomState(2)
     adj = (rng.rand(n, n) < 0.15).astype(np.float32)
     adj[0] = 0  # empty row
-    pattern = build_node_pattern(adj)
+    pattern = build_node_pattern(adj, max_buckets=1)
     scores = jnp.asarray(rng.randn(*pattern.mask.shape).astype(np.float32))
     sm = node_row_softmax(scores, pattern.mask)
     dense = _dense_from_weights(np.asarray(sm), pattern)
@@ -68,7 +68,7 @@ def test_spmm_node_matches_dense_and_vjp_is_exact():
     n, f = 50, 6
     rng = np.random.RandomState(1)
     adj = (rng.rand(n, n) < 0.1).astype(np.float32)
-    pattern = build_node_pattern(adj)
+    pattern = build_node_pattern(adj, max_buckets=1)
     w = jnp.asarray((rng.rand(*np.asarray(pattern.mask).shape) *
                      np.asarray(pattern.mask)).astype(np.float32))
     x = jnp.asarray(rng.randn(n, f).astype(np.float32))
@@ -98,7 +98,7 @@ def test_sparse_meta_node_grads_reach_memory():
     rng = np.random.RandomState(3)
     adj = (rng.rand(n, n) < 0.07).astype(np.float32)
     np.fill_diagonal(adj, 1)
-    pattern = build_node_pattern(adj)
+    pattern = build_node_pattern(adj, max_buckets=1)
     mem = jnp.asarray(rng.randn(5, 6), jnp.float32)
     we1 = jnp.asarray(rng.randn(n, 5), jnp.float32)
     we2 = jnp.asarray(rng.randn(n, 5), jnp.float32)
@@ -169,7 +169,7 @@ def test_cheb_aggregate_learned_node_matches_dense_polynomials():
     rng = np.random.RandomState(7)
     adj = (rng.rand(n, n) < 0.2).astype(np.float32)
     np.fill_diagonal(adj, 1)
-    pattern = build_node_pattern(adj)
+    pattern = build_node_pattern(adj, max_buckets=1)
     w1 = jnp.asarray((rng.rand(*np.asarray(pattern.mask).shape)
                       * np.asarray(pattern.mask)).astype(np.float32))
     w2 = jnp.asarray((rng.rand(*np.asarray(pattern.mask).shape)
@@ -184,3 +184,45 @@ def test_cheb_aggregate_learned_node_matches_dense_polynomials():
             expect = np.einsum("nm,bmc->bnc", t[ki], x)
             np.testing.assert_allclose(np.asarray(out[:, :, si * k + ki]),
                                        expect, atol=1e-3, rtol=1e-3)
+
+
+def test_sparse_meta_bucketed_pattern_equals_flat():
+    """Degree-bucketed learned pattern == flat pattern through the FULL
+    model (forward AND parameter gradients): bucketing only relayouts the
+    gathers; SDDMM/softmax/SpMM math is unchanged."""
+    from megacrn_tpu.config import MegaCRNConfig
+    from megacrn_tpu.kernels.sparse_graph_node import (
+        BucketedNodeELLPattern, NodeELLPattern, build_node_pattern)
+    from megacrn_tpu.models import megacrn
+
+    n = 30
+    rng = np.random.RandomState(11)
+    adj = (rng.rand(n, n) < 0.12).astype(np.float32)
+    adj = ((adj != 0) | (adj.T != 0)).astype(np.float32)
+    np.fill_diagonal(adj, 1)
+    flat = build_node_pattern(adj, max_buckets=1)
+    bucketed = build_node_pattern(adj, max_buckets=4, min_saving=0.0)
+    assert isinstance(flat, NodeELLPattern)
+    assert isinstance(bucketed, BucketedNodeELLPattern)
+
+    cfg = MegaCRNConfig(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=3, seq_len=3, graph_backend="sparse_meta")
+    params = megacrn.init_params(jax.random.PRNGKey(2), cfg)
+    x = rng.randn(2, 3, n, 1).astype(np.float32)
+    ycov = rng.randn(2, 3, n, 1).astype(np.float32)
+    out_f = megacrn.forward(params, x, ycov, cfg, road_supports=flat)
+    out_b = megacrn.forward(params, x, ycov, cfg, road_supports=bucketed)
+    np.testing.assert_allclose(np.asarray(out_b.output),
+                               np.asarray(out_f.output), atol=2e-5,
+                               rtol=2e-5)
+
+    def loss(params, pat):
+        out = megacrn.forward(params, x, ycov, cfg, road_supports=pat)
+        return jnp.mean(out.output ** 2) + jnp.mean(out.query ** 2)
+
+    g_f = jax.grad(loss)(params, flat)
+    g_b = jax.grad(loss)(params, bucketed)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=5e-4)

@@ -157,8 +157,10 @@ def bench_backend(backend, adj, n, batch, steps, compute_dtype):
         nnz = pack_nnz(supports)
     elif backend.startswith("road_sparse"):
         nnz = int(np.count_nonzero(np.asarray(supports.pack.data)))
-    else:  # sparse_meta (both granularities): true pattern edges x 2 sup
-        nnz = 2 * int(np.asarray(supports.mask).sum())
+    else:  # sparse_meta (all granularities): true pattern edges x 2 sup
+        masks = (supports.mask if isinstance(supports.mask, tuple)
+                 else (supports.mask,))
+        nnz = 2 * int(sum(np.asarray(m).sum() for m in masks))
     apps = 2  # cheb_k - 1
     aggs = 2  # [x||h] stack + candidate stack
     cells = seq + horizon

@@ -134,7 +134,8 @@ def run_torch(model, data, model_cfg, train_cfg, ckpt_path,
 
 def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
                mem_dim=None, batch_size=64, protocol="canonical",
-               patience=None, milestones=None, lr=None, min_speed=None):
+               patience=None, milestones=None, lr=None, min_speed=None,
+               missing_rate=0.02):
     """``patience``/``milestones`` default to the no-early-stop, single-
     late-milestone setup of the short parity runs; the converged experiment
     passes real values so both sides cross LR decays and early-stop on
@@ -189,7 +190,7 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
         min_speed = 20.0 if protocol == "expytky" else 0.0
     data = build_synthetic(num_nodes=nodes, num_steps=steps, seq_len=seq,
                            horizon=seq, batch_size=batch_size, seed=3,
-                           min_speed=min_speed)
+                           min_speed=min_speed, missing_rate=missing_rate)
 
     torch.manual_seed(7)
     tmodel = TorchMegaCRN(
@@ -236,7 +237,7 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
                    "mem_dim": mem_dim, "batch_size": batch_size,
                    "protocol": protocol, "patience": patience,
                    "milestones": list(milestones), "lr": lr,
-                   "min_speed": min_speed},
+                   "min_speed": min_speed, "missing_rate": missing_rate},
         "torch": {"val_trajectory": torch_res["val_trajectory"],
                   "test": torch_res["test"],
                   "best_val": torch_res["best_val"]},
@@ -361,6 +362,11 @@ if __name__ == "__main__":
                    help="override the protocol lr")
     p.add_argument("--min_speed", type=float, default=None,
                    help="synthetic speed floor (MAPE conditioning)")
+    p.add_argument("--missing_rate", type=float, default=0.02,
+                   help="synthetic missing-value (exact zero) rate; 0 "
+                        "makes canonical masked MAPE well-conditioned "
+                        "(zeros do not survive the scale/inverse roundtrip "
+                        "exactly, leaving ~1e-7 denominators)")
     p.add_argument("--tag", type=str, default=None,
                    help="section name in PARITY.md (default: protocol-N<nodes>)")
     p.add_argument("--report", action="store_true",
@@ -371,7 +377,7 @@ if __name__ == "__main__":
                      mem_dim=a.mem_dim, batch_size=a.batch,
                      protocol=a.protocol, patience=a.patience,
                      milestones=a.milestones, lr=a.lr,
-                     min_speed=a.min_speed)
+                     min_speed=a.min_speed, missing_rate=a.missing_rate)
     print(json.dumps(res, indent=1))
     if a.report:
         record_and_report(a.tag or f"{a.protocol}-N{a.nodes}", res)
