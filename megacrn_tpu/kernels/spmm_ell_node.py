@@ -378,7 +378,16 @@ class LocalNodeELL(NamedTuple):
 
 def shard_node_ell(supports, n_shards: int) -> ShardedNodeELL:
     """Row-partition dense numpy supports for the node-sharded ELL path.
-    supports: list of (N, N) numpy arrays; N must divide by n_shards."""
+    supports: list of (N, N) numpy arrays; N must divide by n_shards.
+
+    The per-device packs stay in the FLAT (global-max-degree) layout:
+    shard_map requires identical array shapes on every device, and
+    degree-bucketing would give each device's buckets different sizes.
+    The padding tax this keeps (~36-42% of gather slots on road graphs —
+    see ``BucketedStackedNodeELL``) is bounded by the single-chip numbers;
+    a shape-uniform bucketing (global cut points with per-device padding
+    to the global bucket sizes) is the known follow-up if the mesh path
+    ever becomes gather-bound."""
     sups = [np.asarray(s, np.float32) for s in supports]
     n = sups[0].shape[0]
     if n % n_shards:
