@@ -188,3 +188,26 @@ def test_node_ell_mesh_node_partition_matches_single_device():
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_node_ell_bucketed_handles_isolated_and_hub_rows():
+    """Degenerate degree profiles: isolated nodes (degree 0) and a hub row
+    must bucket correctly and still match the dense aggregation."""
+    n = 40
+    rng = np.random.RandomState(9)
+    adj = (rng.rand(n, n) < 0.08).astype(np.float32)
+    adj[5] = 0.0
+    adj[:, 5] = 0.0  # isolated node
+    adj[7] = 1.0
+    adj[7, 7] = 0.0  # hub row: degree n-1
+    s1, s2 = dual_random_walk_supports(adj)
+    packs = build_stacked_node_ell([s1, s2], max_buckets=4, min_saving=0.0)
+    from megacrn_tpu.kernels.spmm_ell_node import BucketedStackedNodeELL
+
+    assert isinstance(packs, BucketedStackedNodeELL)
+    dense = jnp.stack([jnp.asarray(s1), jnp.asarray(s2)])
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, n, 3))
+    got = cheb_aggregate_node_ell(packs, x, 3)
+    want = cheb_aggregate(dense, x, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
