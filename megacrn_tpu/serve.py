@@ -13,7 +13,6 @@ serve predictions from raw recent observations — batch or streaming.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax
@@ -40,29 +39,48 @@ class Predictor:
 
     def __init__(self, params: Dict, cfg: MegaCRNConfig,
                  scaler_mean: float = 0.0, scaler_std: float = 1.0,
-                 max_batch: int = 64):
+                 max_batch: int = 64, road_supports=None):
+        """``road_supports``: the graph constant of a sparse-backend config
+        (node-ELL/COO packs for ``road_sparse``, an edge pattern for
+        ``sparse_meta``) — required when ``cfg.graph_backend`` is not dense,
+        exactly as in training. Its array leaves are threaded as runtime
+        args so program size stays independent of nnz."""
+        from megacrn_tpu.train.steps import (join_support_arrays,
+                                             split_support_arrays)
+
         self.params = params
         self.cfg = cfg
         self.mean = float(scaler_mean)
         self.std = float(scaler_std)
         self.max_batch = max_batch
-        self._fwd = jax.jit(functools.partial(self._forward, cfg=cfg))
+        skel, self._sup_arrays = split_support_arrays(road_supports)
+
+        @jax.jit
+        def fwd(params, x, y_cov, mean, std, sup):
+            return self._forward(params, x, y_cov, mean, std, cfg,
+                                 join_support_arrays(skel, sup))
+
+        self._fwd = lambda p, x, yc, m, s: fwd(p, x, yc, m, s,
+                                               self._sup_arrays)
 
     @staticmethod
-    def _forward(params, x, y_cov, mean, std, cfg):
+    def _forward(params, x, y_cov, mean, std, cfg, road_supports=None):
         x = x.at[..., 0].set((x[..., 0] - mean) / std)
-        out = megacrn.forward(params, x[..., : cfg.input_dim], y_cov, cfg)
+        out = megacrn.forward(params, x[..., : cfg.input_dim], y_cov, cfg,
+                              road_supports=road_supports)
         return inverse_transform(out.output, std, mean)
 
     @classmethod
     def from_checkpoint(cls, path: str, cfg: MegaCRNConfig,
-                        max_batch: int = 64) -> "Predictor":
+                        max_batch: int = 64,
+                        road_supports=None) -> "Predictor":
         from megacrn_tpu.train import checkpoint as ckpt
 
         template = megacrn.init_params(jax.random.PRNGKey(0), cfg)
         params, _, meta = ckpt.load_checkpoint(path, template)
         return cls(params, cfg, meta.get("scaler_mean", 0.0),
-                   meta.get("scaler_std", 1.0), max_batch)
+                   meta.get("scaler_std", 1.0), max_batch,
+                   road_supports=road_supports)
 
     def predict(self, x: np.ndarray,
                 y_cov: Optional[np.ndarray] = None) -> np.ndarray:

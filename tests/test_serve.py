@@ -52,3 +52,40 @@ def test_streaming_forecaster_warms_up_then_forecasts(tmp_path):
     assert outs[0] is None and outs[2] is None  # warming (seq_len=4)
     assert outs[3] is not None and outs[3].shape == (3, 8, 1)
     assert np.all(np.isfinite(outs[5]))
+
+
+def test_predictor_sparse_backend():
+    """A road_sparse-trained config serves through the same Predictor:
+    road_supports threads into the jitted forward as runtime args, and the
+    forecasts match the dense-layout forward on the same weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from megacrn_tpu.config import MegaCRNConfig
+    from megacrn_tpu.data.synthetic import synthetic_road_adjacency
+    from megacrn_tpu.kernels.spmm_ell_node import build_stacked_node_ell
+    from megacrn_tpu.models import megacrn
+    from megacrn_tpu.ops.graph import dual_random_walk_supports
+    from megacrn_tpu.serve import Predictor
+
+    n = 20
+    adj = synthetic_road_adjacency(n, avg_degree=4, seed=1)
+    s1, s2 = dual_random_walk_supports(adj)
+    cfg = MegaCRNConfig(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=3, seq_len=3, graph_backend="road_sparse")
+    params = megacrn.init_params(jax.random.PRNGKey(0), cfg)
+    packs = build_stacked_node_ell([s1, s2])
+    pred = Predictor(params, cfg, scaler_mean=40.0, scaler_std=8.0,
+                     max_batch=4, road_supports=packs)
+    rs = np.random.RandomState(0)
+    x = rs.rand(2, 3, n, 1).astype(np.float32) * 60
+    out = pred.predict(x)
+    assert out.shape == (2, 3, n, 1)
+    assert np.isfinite(out).all()
+
+    # Same forecast as the raw forward on manually normalized inputs.
+    xn = (x - 40.0) / 8.0
+    ref = megacrn.forward(params, jnp.asarray(xn), jnp.zeros((2, 3, n, 1)),
+                          cfg, road_supports=packs).output
+    np.testing.assert_allclose(out, np.asarray(ref) * 8.0 + 40.0,
+                               atol=1e-4, rtol=1e-4)
