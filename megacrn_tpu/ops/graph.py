@@ -193,7 +193,9 @@ def dual_random_walk_supports(adj) -> "tuple":
 
     def rw(a):
         d = a.sum(1)
-        d_inv = np.where(d > 0, 1.0 / d, 0.0)
+        # np.where evaluates both branches — divide only where d > 0 so
+        # isolated nodes (degree 0) stay warning-free.
+        d_inv = np.divide(1.0, d, out=np.zeros_like(d), where=d > 0)
         return (d_inv[:, None] * a).T
 
     adj = np.asarray(adj, np.float32)

@@ -307,6 +307,20 @@ def write_report(runs: dict, path="PARITY.md"):
         "lr=1e-4 matches epoch-1 val loss to 3e-7 relative",
         "(torch 8.4671807 vs jax 8.4671783).",
         "",
+        "Note on the converged experiment (canonical-metrla-N207-converged):",
+        "both sides train through BOTH MultiStepLR milestones and",
+        "early-stop on their own val plateaus (reference semantics,",
+        "traintest_MegaCRN.py:104-105,141-150). It runs at lr=0.002: a",
+        "control at the published lr=0.01 (B=16, f32 CPU both sides)",
+        "diverged chaotically within ONE epoch (val 3.951 vs 4.296, 8.7%)",
+        "and the runs landed in different local optima (final MAE rel 0.14,",
+        "torch 3.469 vs jax 3.953) — float-noise amplification under a",
+        "large step size, the same mechanism as the lr=0.01 note above,",
+        "compounded over 20+ epochs; no implementation pair differing in op",
+        "order stays glued there. At lr=0.002 the val trajectories match to",
+        "~3e-5 relative across all 24 epochs including both LR decays and",
+        "the identical early-stop epoch.",
+        "",
         "Note on GTS: the straight-through hard-argmax graph sampler is a",
         "DISCONTINUOUS function of the logits, so once any edge flips from",
         "accumulated float drift the trajectories legitimately diverge;",
