@@ -317,9 +317,12 @@ def write_report(runs: dict, path="PARITY.md"):
         "torch 3.469 vs jax 3.953) — float-noise amplification under a",
         "large step size, the same mechanism as the lr=0.01 note above,",
         "compounded over 20+ epochs; no implementation pair differing in op",
-        "order stays glued there. At lr=0.002 the val trajectories match to",
-        "~3e-5 relative across all 24 epochs including both LR decays and",
-        "the identical early-stop epoch.",
+        "order stays glued there. At lr=0.002 the val trajectories match",
+        "to ~1e-5..1e-4 relative across all 30 epochs including both LR",
+        "decays, with identical best-val/patience decisions every epoch",
+        "(neither side's patience fired before the epoch cap; an earlier",
+        "lr=0.002 variant with 2% missing values early-stopped at the",
+        "identical epoch 24 on both sides).",
         "",
         "Note on GTS: the straight-through hard-argmax graph sampler is a",
         "DISCONTINUOUS function of the logits, so once any edge flips from",
