@@ -34,7 +34,9 @@ class MegaCRNConfig:
     cl_decay_steps: int = 2000
     use_curriculum_learning: bool = True
     # TPU knobs (no reference counterpart):
-    compute_dtype: str = "float32"  # "float32" | "bfloat16" matmul inputs
+    # Matmul-input dtype: "bfloat16" (MXU speed path) | "float32" |
+    # "float64" (CPU parity-control runs; requires jax_enable_x64).
+    compute_dtype: str = "float32"
     # Graph aggregation backend: "dense" (XLA einsum, parity baseline) |
     # "road_sparse" (Pallas block-ELL SpMM over static road supports) |
     # "sparse_meta" (learned block-sparse meta-graph, XLA) | "dense_ring"

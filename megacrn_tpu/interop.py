@@ -14,12 +14,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def params_from_flat(flat: Mapping[str, np.ndarray], num_layers: int) -> Dict:
+def params_from_flat(flat: Mapping[str, np.ndarray], num_layers: int,
+                     dtype=jnp.float32) -> Dict:
     """Build the params pytree from a flat ``{path: array}`` mapping using
-    megacrn-tpu path names (``memory/Memory``, ``encoder/0/gate/W``, ...)."""
+    megacrn-tpu path names (``memory/Memory``, ``encoder/0/gate/W``, ...).
+    ``dtype=jnp.float64`` (with jax_enable_x64) preserves double checkpoints
+    for the precision-control parity runs."""
 
     def arr(k):
-        return jnp.asarray(np.asarray(flat[k]), jnp.float32)
+        return jnp.asarray(np.asarray(flat[k]), dtype)
 
     def cells(mod):
         return [

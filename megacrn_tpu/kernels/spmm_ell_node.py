@@ -376,18 +376,68 @@ class LocalNodeELL(NamedTuple):
     n_full: int
 
 
-def shard_node_ell(supports, n_shards: int) -> ShardedNodeELL:
+class BucketedShardedNodeELL:
+    """Shape-uniform degree-bucketed node-partitioned ELL supports.
+
+    The flat ``ShardedNodeELL`` pads every device's rows to the GLOBAL max
+    degree (the same 36-42% padded-slot tax the single-chip flat pack
+    carries — measured in STATUS.md's ELL table). shard_map requires
+    identical array shapes on every device, so per-device bucketing is not
+    allowed to give devices different bucket sizes; instead the buckets are
+    cut on the ENVELOPE of the per-device sorted degree profiles
+    (``env[r] = max over devices of each device's r-th smallest local
+    degree``): every device sorts its local rows by degree, bucket b holds
+    sorted ranks [start_b, end_b) on EVERY device, padded to the envelope's
+    bucket max ``D_b`` — uniform (n_b, D_b) shapes by construction, and the
+    DP cut-point search minimises exactly the real total
+    ``n_shards * sum_b n_b * D_b``.
+
+    nbr/w: tuple over supports of tuples over buckets of
+    (n_shards, n_b, D_b) arrays — device dim first, split over the mesh
+    node axis by shard_map in_specs; column ids are GLOBAL node ids in
+    [0, n_full). inv: tuple over supports of (n_shards, n_loc) int32 with
+    ``y_local = concat_b(bucket outputs)[inv]`` (each device's own
+    degree-sort un-permute). n_loc/n_full are static pytree aux.
+    """
+
+    def __init__(self, nbr, w, inv, n_loc: int, n_full: int):
+        self.nbr, self.w, self.inv = nbr, w, inv
+        self.n_loc, self.n_full = n_loc, n_full
+
+    def tree_flatten(self):
+        return ((self.nbr, self.w, self.inv), (self.n_loc, self.n_full))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+jax.tree_util.register_pytree_node(
+    BucketedShardedNodeELL, BucketedShardedNodeELL.tree_flatten,
+    BucketedShardedNodeELL.tree_unflatten)
+
+
+class LocalBucketedNodeELL(NamedTuple):
+    """This device's row blocks inside shard_map: per-support tuples of
+    per-bucket (n_b, D_b) nbr/w arrays + (n_loc,) un-permute."""
+
+    nbr: tuple
+    w: tuple
+    inv: tuple
+    n_full: int
+
+
+def shard_node_ell(supports, n_shards: int, max_buckets: int = 4,
+                   min_saving: float = 0.10):
     """Row-partition dense numpy supports for the node-sharded ELL path.
     supports: list of (N, N) numpy arrays; N must divide by n_shards.
 
-    The per-device packs stay in the FLAT (global-max-degree) layout:
-    shard_map requires identical array shapes on every device, and
-    degree-bucketing would give each device's buckets different sizes.
-    The padding tax this keeps (~36-42% of gather slots on road graphs —
-    see ``BucketedStackedNodeELL``) is bounded by the single-chip numbers;
-    a shape-uniform bucketing (global cut points with per-device padding
-    to the global bucket sizes) is the known follow-up if the mesh path
-    ever becomes gather-bound."""
+    When shape-uniform degree bucketing (see ``BucketedShardedNodeELL``)
+    saves at least ``min_saving`` of the padded gather slots vs the flat
+    global-max-degree layout, returns the bucketed pack; otherwise (or with
+    ``max_buckets=1``) the flat ``ShardedNodeELL``. Both run through
+    ``make_road_node_train_step`` /
+    ``cheb_aggregate_node_ell_sharded`` unchanged."""
     sups = [np.asarray(s, np.float32) for s in supports]
     n = sups[0].shape[0]
     if n % n_shards:
@@ -395,8 +445,27 @@ def shard_node_ell(supports, n_shards: int) -> ShardedNodeELL:
     n_loc = n // n_shards
     # One GLOBAL max degree so every (device, support) slice is uniform.
     d_max = 1
+    degs = []  # per support: (n_shards, n_loc) local row degrees
     for a in sups:
-        d_max = max(d_max, int((a != 0).sum(1).max()))
+        deg = (a != 0).sum(1).reshape(n_shards, n_loc)
+        degs.append(deg)
+        d_max = max(d_max, int(deg.max()))
+    flat_slots = len(sups) * n_shards * n_loc * d_max
+
+    if max_buckets > 1:
+        plans = []  # per support: (cut_ends, widths) on the envelope
+        bucket_slots = 0
+        for deg in degs:
+            env = np.sort(deg, axis=1).max(axis=0)  # nondecreasing envelope
+            slots, cut_ends = _bucket_splits(env, max_buckets)
+            widths = [max(1, int(env[e - 1])) for e in cut_ends]
+            starts = [0] + list(cut_ends[:-1])
+            bucket_slots += n_shards * sum(
+                (e - s) * d for s, e, d in zip(starts, cut_ends, widths))
+            plans.append((cut_ends, widths))
+        if bucket_slots <= (1.0 - min_saving) * flat_slots:
+            return _shard_node_ell_bucketed(sups, n_shards, degs, plans)
+
     nbr = np.zeros((n_shards, len(sups), n_loc, d_max), np.int32)
     w = np.zeros((n_shards, len(sups), n_loc, d_max), np.float32)
     for si, a in enumerate(sups):
@@ -411,30 +480,88 @@ def shard_node_ell(supports, n_shards: int) -> ShardedNodeELL:
     return ShardedNodeELL(jnp.asarray(nbr), jnp.asarray(w), n_loc, n)
 
 
-def local_node_ell(sp: ShardedNodeELL) -> LocalNodeELL:
+def _shard_node_ell_bucketed(sups, n_shards, degs, plans):
+    """Pack every device's degree-sorted local rows into the shared
+    envelope buckets (``plans``: per-support (cut_ends, widths))."""
+    n = sups[0].shape[0]
+    n_loc = n // n_shards
+    all_nbr, all_w, all_inv = [], [], []
+    for a, deg, (cut_ends, widths) in zip(sups, degs, plans):
+        starts = [0] + list(cut_ends[:-1])
+        nbrs = [np.zeros((n_shards, e - s, d), np.int32)
+                for s, e, d in zip(starts, cut_ends, widths)]
+        ws = [np.zeros((n_shards, e - s, d), np.float32)
+              for s, e, d in zip(starts, cut_ends, widths)]
+        inv = np.zeros((n_shards, n_loc), np.int32)
+        starts_a, ends_a = np.asarray(starts), np.asarray(cut_ends)
+        for dev in range(n_shards):
+            order = np.argsort(deg[dev], kind="stable")
+            rank = np.empty(n_loc, np.int64)
+            rank[order] = np.arange(n_loc)
+            inv[dev] = rank
+            blk = a[dev * n_loc:(dev + 1) * n_loc]
+            rows, cols = np.nonzero(blk)  # row-major: rows nondecreasing
+            vals = blk[rows, cols]
+            slot = _slots_for(rows)
+            r_rank = rank[rows]
+            bucket_of = np.searchsorted(ends_a, r_rank, side="right")
+            local_row = r_rank - starts_a[bucket_of]
+            for b in range(len(cut_ends)):
+                m = bucket_of == b
+                nbrs[b][dev][local_row[m], slot[m]] = cols[m]
+                ws[b][dev][local_row[m], slot[m]] = vals[m]
+        all_nbr.append(tuple(jnp.asarray(x) for x in nbrs))
+        all_w.append(tuple(jnp.asarray(x) for x in ws))
+        all_inv.append(jnp.asarray(inv))
+    return BucketedShardedNodeELL(tuple(all_nbr), tuple(all_w),
+                                  tuple(all_inv), n_loc, n)
+
+
+def local_node_ell(sp):
     """Inside shard_map (arrays carry a length-1 device dim)."""
+    if isinstance(sp, BucketedShardedNodeELL):
+        strip = lambda t: tuple(a[0] for a in t)
+        return LocalBucketedNodeELL(tuple(strip(t) for t in sp.nbr),
+                                    tuple(strip(t) for t in sp.w),
+                                    tuple(a[0] for a in sp.inv), sp.n_full)
     return LocalNodeELL(sp.nbr[0], sp.w[0], sp.n_full)
 
 
-def cheb_aggregate_node_ell_sharded(pack: LocalNodeELL, x: jnp.ndarray,
+def cheb_aggregate_node_ell_sharded(pack, x: jnp.ndarray,
                                     cheb_k: int, axis_name: str
                                     ) -> jnp.ndarray:
     """Node-partitioned Chebyshev stack (inside shard_map): all-gather the x
     node-blocks over ``axis_name``, gather-reduce on local rows. Output
     (B, n_loc, S*K, C) node-local. Intermediate terms are re-gathered per
-    extra Chebyshev level, as in parallel.ring.cheb_aggregate_sparse_sharded."""
+    extra Chebyshev level, as in parallel.ring.cheb_aggregate_sparse_sharded.
+    ``pack``: LocalNodeELL (flat) or LocalBucketedNodeELL (per-bucket
+    gather-reduce, concatenated along local rows, one static un-permute)."""
 
     def gather(t):  # (B, n_loc, C) -> (B, N, C)
         return jax.lax.all_gather(t, axis_name, axis=1, tiled=True)
 
-    def apply_local(s, t_full):  # t_full (B, N, C) -> (B, n_loc, C)
-        g = t_full[:, pack.nbr[s]]  # (B, n_loc, D, C)
-        return jnp.einsum("rd,brdc->brc", pack.w[s].astype(t_full.dtype), g,
-                          preferred_element_type=t_full.dtype)
+    if isinstance(pack, LocalBucketedNodeELL):
+        num_supports = len(pack.nbr)
+
+        def apply_local(s, t_full):  # t_full (B, N, C) -> (B, n_loc, C)
+            parts = [jnp.einsum("rd,brdc->brc", w_b.astype(t_full.dtype),
+                                t_full[:, nbr_b],
+                                preferred_element_type=t_full.dtype)
+                     for nbr_b, w_b in zip(pack.nbr[s], pack.w[s])]
+            return jnp.concatenate(parts, axis=1)[:, pack.inv[s]]
+
+    else:
+        num_supports = pack.nbr.shape[0]
+
+        def apply_local(s, t_full):  # t_full (B, N, C) -> (B, n_loc, C)
+            g = t_full[:, pack.nbr[s]]  # (B, n_loc, D, C)
+            return jnp.einsum("rd,brdc->brc",
+                              pack.w[s].astype(t_full.dtype), g,
+                              preferred_element_type=t_full.dtype)
 
     x_full = gather(x)
     terms = []
-    for s in range(pack.nbr.shape[0]):
+    for s in range(num_supports):
         t_prev_l = x
         t_cur_l = apply_local(s, x_full)
         terms.append(t_prev_l)

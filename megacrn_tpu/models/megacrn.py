@@ -98,6 +98,9 @@ def forward(
     batch = x.shape[0]
     n_nodes = x.shape[2]  # == cfg.num_nodes, or the per-shard node count
     compute_dtype = jnp.dtype(cfg.compute_dtype)
+    # Memory read / output accumulate at (at least) f32: upcasts bf16 back,
+    # passes f64 through untouched (the float64 parity-control mode).
+    acc_dtype = jnp.promote_types(jnp.float32, compute_dtype)
     mem = params["memory"]
 
     if cfg.graph_backend == "sparse_meta":
@@ -154,13 +157,15 @@ def forward(
                              "road_supports=[(pack, pack_t), ...] or a "
                              "StackedRoadPack")
         from megacrn_tpu.kernels.spmm_ell_node import (
-            BucketedStackedNodeELL, LocalNodeELL, StackedNodeELL,
-            cheb_aggregate_node_ell, cheb_aggregate_node_ell_sharded)
+            BucketedStackedNodeELL, LocalBucketedNodeELL, LocalNodeELL,
+            StackedNodeELL, cheb_aggregate_node_ell,
+            cheb_aggregate_node_ell_sharded)
 
         supports = road_supports
-        if isinstance(road_supports, LocalNodeELL):
+        if isinstance(road_supports, (LocalNodeELL, LocalBucketedNodeELL)):
             # Node-partitioned ELL inside shard_map: this device's row
-            # block; x node-blocks all-gathered over the mesh node axis.
+            # block (flat, or shape-uniform degree-bucketed); x node-blocks
+            # all-gathered over the mesh node axis.
             if ring_axis is None:
                 raise ValueError("LocalNodeELL requires ring_axis (it only "
                                  "exists inside shard_map)")
@@ -242,9 +247,14 @@ def forward(
             # f32 (preferred_element_type) so only the MXU inputs narrow.
             from megacrn_tpu.kernels.spmm_coo import StackedRoadPack
             from megacrn_tpu.kernels.spmm_ell_node import (
-                BucketedStackedNodeELL, LocalNodeELL, StackedNodeELL)
+                BucketedStackedNodeELL, LocalBucketedNodeELL, LocalNodeELL,
+                StackedNodeELL)
 
-            if isinstance(supports, LocalNodeELL):
+            if isinstance(supports, LocalBucketedNodeELL):
+                cast_tt = lambda tt: tuple(
+                    tuple(a.astype(compute_dtype) for a in t) for t in tt)
+                supports = supports._replace(w=cast_tt(supports.w))
+            elif isinstance(supports, LocalNodeELL):
                 supports = supports._replace(
                     w=supports.w.astype(compute_dtype))
             elif isinstance(supports, BucketedStackedNodeELL):
@@ -303,7 +313,7 @@ def forward(
         enc_step = jax.checkpoint(enc_step)
 
     enc_states, _ = jax.lax.scan(enc_step, enc_states, x_tm)
-    h_t = enc_states[-1].astype(jnp.float32)  # last layer's last state
+    h_t = enc_states[-1].astype(acc_dtype)  # last layer's last state
 
     # --- memory read (model/MegaCRN.py:178-181) ---
     h_att, query, pos, neg = query_memory(mem, h_t)
@@ -349,7 +359,7 @@ def forward(
 
     (_, _), outs = jax.lax.scan(
         dec_step, (go0, dec_states), (y_cov_tm, labels_tm, use_truth))
-    output = jnp.swapaxes(outs, 0, 1).astype(jnp.float32)
+    output = jnp.swapaxes(outs, 0, 1).astype(acc_dtype)
 
     return MegaCRNOutput(output, h_att, query, pos, neg)
 

@@ -304,16 +304,19 @@ def make_road_node_train_step(
     (params, opt_state, loss)``; batches must be placed with ``shard_batch``.
     """
     from megacrn_tpu.kernels.spmm import ShardedRoadPacks, local_packs
-    from megacrn_tpu.kernels.spmm_ell_node import (ShardedNodeELL,
+    from megacrn_tpu.kernels.spmm_ell_node import (BucketedShardedNodeELL,
+                                                   ShardedNodeELL,
                                                    local_node_ell)
 
     if model_cfg.graph_backend != "road_sparse":
         raise ValueError("make_road_node_train_step requires "
                          "graph_backend='road_sparse'")
-    if isinstance(sharded_packs, ShardedNodeELL):
+    if isinstance(sharded_packs, (ShardedNodeELL, BucketedShardedNodeELL)):
+        # Every pack leaf (flat (D, S, n_loc, Dmax) arrays, or the bucketed
+        # per-support/per-bucket (D, n_b, D_b) + (D, n_loc) inv arrays)
+        # carries the device dim first — one tree_map builds the spec.
         to_local = local_node_ell
-        pspec = ShardedNodeELL(P(NODE_AXIS), P(NODE_AXIS),
-                               sharded_packs.n_loc, sharded_packs.n_full)
+        pspec = jax.tree_util.tree_map(lambda _: P(NODE_AXIS), sharded_packs)
     elif isinstance(sharded_packs, ShardedRoadPacks):
         to_local = local_packs
         # (S, D, ...) pack arrays: device dim over node, rest local. The
@@ -370,13 +373,13 @@ def make_road_node_eval_forward(model_cfg: MegaCRNConfig, mesh: Mesh,
     ``data``, nodes over ``node``, per-device row-block packs. Outputs come
     back as global arrays (metrics run on them outside)."""
     from megacrn_tpu.kernels.spmm import ShardedRoadPacks, local_packs
-    from megacrn_tpu.kernels.spmm_ell_node import (ShardedNodeELL,
+    from megacrn_tpu.kernels.spmm_ell_node import (BucketedShardedNodeELL,
+                                                   ShardedNodeELL,
                                                    local_node_ell)
 
-    if isinstance(sharded_packs, ShardedNodeELL):
+    if isinstance(sharded_packs, (ShardedNodeELL, BucketedShardedNodeELL)):
         to_local = local_node_ell
-        pspec = ShardedNodeELL(P(NODE_AXIS), P(NODE_AXIS),
-                               sharded_packs.n_loc, sharded_packs.n_full)
+        pspec = jax.tree_util.tree_map(lambda _: P(NODE_AXIS), sharded_packs)
     elif isinstance(sharded_packs, ShardedRoadPacks):
         to_local = local_packs
         pspec = ShardedRoadPacks(

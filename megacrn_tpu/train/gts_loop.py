@@ -128,7 +128,11 @@ def fit_gts(cfg: GTSConfig, train_cfg: TrainConfig, data: Dict,
 
     opt_parts = []
     if train_cfg.max_grad_norm is not None:
-        opt_parts.append(optax.clip_by_global_norm(train_cfg.max_grad_norm))
+        # torch clip_grad_norm_ bit semantics (traintest_GTS.py:163) — see
+        # megacrn_tpu.train.optim.clip_by_global_norm_torch.
+        from megacrn_tpu.train.optim import clip_by_global_norm_torch
+
+        opt_parts.append(clip_by_global_norm_torch(train_cfg.max_grad_norm))
     opt_parts.append(optax.adam(train_cfg.lr, eps=train_cfg.epsilon))
     optimizer = optax.chain(*opt_parts)
     opt_state = optimizer.init(params)

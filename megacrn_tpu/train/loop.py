@@ -130,9 +130,11 @@ def fit(
             place_batch = lambda arrays: shard_batch(arrays, mesh)
         elif model_cfg.graph_backend == "road_sparse":
             from megacrn_tpu.kernels.spmm import ShardedRoadPacks
-            from megacrn_tpu.kernels.spmm_ell_node import ShardedNodeELL
+            from megacrn_tpu.kernels.spmm_ell_node import (
+                BucketedShardedNodeELL, ShardedNodeELL)
 
-            if isinstance(road_supports, (ShardedRoadPacks, ShardedNodeELL)):
+            if isinstance(road_supports, (ShardedRoadPacks, ShardedNodeELL,
+                                          BucketedShardedNodeELL)):
                 # Node-partitioned + DP: per-device row-block packs, x
                 # gathered over the node axis inside shard_map.
                 from megacrn_tpu.parallel.api import make_road_node_train_step
@@ -171,12 +173,14 @@ def fit(
         # with the single-device dense math per batch shard — no device
         # redundantly recomputes the full eval), metrics on the outputs.
         from megacrn_tpu.kernels.spmm import ShardedRoadPacks
-        from megacrn_tpu.kernels.spmm_ell_node import ShardedNodeELL
+        from megacrn_tpu.kernels.spmm_ell_node import (
+            BucketedShardedNodeELL, ShardedNodeELL)
         from megacrn_tpu.parallel.api import (make_road_node_eval_forward,
                                               make_shardmap_eval_forward)
         from megacrn_tpu.train.steps import _metric_steps, eval_metrics
 
-        if isinstance(road_supports, (ShardedRoadPacks, ShardedNodeELL)):
+        if isinstance(road_supports, (ShardedRoadPacks, ShardedNodeELL,
+                                      BucketedShardedNodeELL)):
             eval_fwd = make_road_node_eval_forward(model_cfg, mesh,
                                                    road_supports)
         else:

@@ -27,6 +27,11 @@ from megacrn_tpu.ops.scaling import inverse_transform
 
 def composite_loss(out: megacrn.MegaCRNOutput, y: jnp.ndarray,
                    train_cfg: TrainConfig, scaler_mean, scaler_std):
+    # Targets arrive as f32 loader arrays; align them with the model output
+    # dtype so the f64 parity-control mode computes its losses fully in
+    # double (the f32 -> f64 upcast of identical values is exact; a no-op
+    # for the f32/bf16 production paths whose outputs are f32).
+    y = y.astype(out.output.dtype)
     if train_cfg.pred_loss == "masked_mae_inv":
         y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
         y_true = inverse_transform(y, scaler_std, scaler_mean)
@@ -169,6 +174,7 @@ def eval_metrics(out: megacrn.MegaCRNOutput, y: jnp.ndarray,
     (model/traintest_MegaCRN.py:60-86), as a pure function of the forward
     output — shared by the single-device eval step and the mesh eval path
     (which runs the forward through shard_map and the metrics via GSPMD)."""
+    y = y.astype(out.output.dtype)  # see composite_loss
     y_pred = inverse_transform(out.output, scaler_std, scaler_mean)
     y_true = inverse_transform(y, scaler_std, scaler_mean)
     loss = composite_loss(out, y, train_cfg, scaler_mean, scaler_std)

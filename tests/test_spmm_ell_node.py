@@ -190,6 +190,117 @@ def test_node_ell_mesh_node_partition_matches_single_device():
                                    atol=1e-5, rtol=1e-4)
 
 
+def _skewed_adjacency(n, seed=11):
+    """Adjacency with a spread-out degree profile (so bucketing saves),
+    plus an isolated node and a hub row."""
+    rng = np.random.RandomState(seed)
+    adj = (rng.rand(n, n) < 0.08).astype(np.float32)
+    adj[3] = 0.0
+    adj[:, 3] = 0.0  # isolated node
+    adj[9] = 1.0
+    adj[9, 9] = 0.0  # hub row
+    np.fill_diagonal(adj, 0.0)
+    return adj
+
+
+def test_node_ell_bucketed_mesh_matches_flat_and_single_device():
+    """Shape-uniform degree-bucketed sharded packs (BucketedShardedNodeELL)
+    must reproduce BOTH the flat sharded update and the single-device
+    update on a (2, 4) mesh — bucketing on the per-device degree ENVELOPE
+    changes only the gather layout, never the math. The graph includes an
+    isolated node and a hub row (degenerate degree-profile edge cases)."""
+    from megacrn_tpu.config import MegaCRNConfig, TrainConfig
+    from megacrn_tpu.kernels.spmm_ell_node import (BucketedShardedNodeELL,
+                                                   ShardedNodeELL,
+                                                   shard_node_ell)
+    from megacrn_tpu.models import megacrn
+    from megacrn_tpu.parallel.api import make_road_node_train_step
+    from megacrn_tpu.parallel.mesh import make_mesh, shard_batch
+    from megacrn_tpu.train.optim import make_optimizer
+    from megacrn_tpu.train.steps import make_train_step
+
+    n = 32
+    s1, s2 = dual_random_walk_supports(_skewed_adjacency(n))
+    cfg = MegaCRNConfig(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=4, seq_len=4, cl_decay_steps=10,
+                        graph_backend="road_sparse")
+    tcfg = TrainConfig(batch_size=8, lr=0.01)
+    params = megacrn.init_params(jax.random.PRNGKey(7), cfg)
+    opt = make_optimizer(tcfg, steps_per_epoch=10)
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    x = np.asarray(jax.random.normal(ks[0], (8, 4, n, 1)))
+    y = np.asarray(jax.random.normal(ks[1], (8, 4, n, 1)))
+    ycov = np.asarray(jax.random.normal(ks[2], (8, 4, n, 1)))
+    rng = jax.random.PRNGKey(9)
+    b = 5.0
+
+    base = make_train_step(cfg, tcfg, opt,
+                           road_supports=build_stacked_node_ell(
+                               [s1, s2], max_buckets=1))
+    p1, _, loss1 = base(params, opt.init(params), x, y, ycov, b, rng)
+
+    flat = shard_node_ell([s1, s2], 4, max_buckets=1)
+    bucketed = shard_node_ell([s1, s2], 4, max_buckets=4, min_saving=0.0)
+    assert isinstance(flat, ShardedNodeELL)
+    assert isinstance(bucketed, BucketedShardedNodeELL)
+    # The bucketed pack stores fewer padded slots than the flat one (the
+    # whole point), at identical stored-edge count.
+    flat_slots = int(np.prod(flat.w.shape))
+    bucket_slots = sum(int(np.prod(np.asarray(w).shape))
+                       for sup in bucketed.w for w in sup)
+    assert bucket_slots < flat_slots
+    flat_nnz = int(np.count_nonzero(np.asarray(flat.w)))
+    bucket_nnz = sum(int(np.count_nonzero(np.asarray(w)))
+                     for sup in bucketed.w for w in sup)
+    assert bucket_nnz == flat_nnz
+
+    mesh = make_mesh(2, 4)
+    xs, ys, ycs = shard_batch((x, y, ycov), mesh)
+    results = []
+    for packs in (flat, bucketed):
+        step = make_road_node_train_step(cfg, tcfg, opt, mesh, packs,
+                                         donate=False)
+        results.append(step(params, opt.init(params), xs, ys, ycs,
+                            jnp.float32(b), rng))
+    for p2, _, loss2 in results:
+        np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+        for a, c in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=1e-5, rtol=1e-4)
+
+
+def test_node_ell_bucketed_mesh_eval_matches_single_device():
+    """Eval forward through the node-partitioned bucketed packs must equal
+    the single-device forward (make_road_node_eval_forward routing)."""
+    from megacrn_tpu.config import MegaCRNConfig
+    from megacrn_tpu.kernels.spmm_ell_node import shard_node_ell
+    from megacrn_tpu.models import megacrn
+    from megacrn_tpu.parallel.api import make_road_node_eval_forward
+    from megacrn_tpu.parallel.mesh import make_mesh, shard_batch
+
+    n = 32
+    s1, s2 = dual_random_walk_supports(_skewed_adjacency(n, seed=12))
+    cfg = MegaCRNConfig(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=4, seq_len=4, graph_backend="road_sparse")
+    params = megacrn.init_params(jax.random.PRNGKey(3), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(4), 2)
+    x = np.asarray(jax.random.normal(ks[0], (8, 4, n, 1)))
+    ycov = np.asarray(jax.random.normal(ks[1], (8, 4, n, 1)))
+    want = megacrn.forward(params, x, ycov, cfg,
+                           road_supports=build_stacked_node_ell(
+                               [s1, s2], max_buckets=1))
+    mesh = make_mesh(2, 4)
+    fwd = make_road_node_eval_forward(
+        cfg, mesh, shard_node_ell([s1, s2], 4, max_buckets=4,
+                                  min_saving=0.0))
+    xs, ycs = shard_batch((x, ycov), mesh)
+    got = fwd(params, xs, ycs)
+    np.testing.assert_allclose(np.asarray(got.output),
+                               np.asarray(want.output),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_node_ell_bucketed_handles_isolated_and_hub_rows():
     """Degenerate degree profiles: isolated nodes (degree 0) and a hub row
     must bucket correctly and still match the dense aggregation."""

@@ -53,14 +53,20 @@ def run_torch(model, data, model_cfg, train_cfg, ckpt_path,
     compact_loss = nn.MSELoss()
     l1 = nn.L1Loss()
 
+    # Drive the reference model at ITS parameter dtype (double() for the
+    # float64 control runs); the f32 -> f64 upcast of identical loader
+    # arrays is exact, so both frameworks still see identical inputs.
+    model_dtype = next(model.parameters()).dtype
+
     def batches(loader):
         from megacrn_tpu.data.loader import prepare_x_y
 
         for x, y in loader:
             x0, y0, yc = prepare_x_y(x, y, model_cfg.input_dim,
                                      model_cfg.output_dim)
-            yield (torch.from_numpy(x0), torch.from_numpy(y0),
-                   torch.from_numpy(yc))
+            yield (torch.from_numpy(x0).to(model_dtype),
+                   torch.from_numpy(y0).to(model_dtype),
+                   torch.from_numpy(yc).to(model_dtype))
 
     def composite(output, y, query, pos, neg):
         if protocol == "expytky":
@@ -135,7 +141,7 @@ def run_torch(model, data, model_cfg, train_cfg, ckpt_path,
 def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
                mem_dim=None, batch_size=64, protocol="canonical",
                patience=None, milestones=None, lr=None, min_speed=None,
-               missing_rate=0.02):
+               missing_rate=0.02, float64=False):
     """``patience``/``milestones`` default to the no-early-stop, single-
     late-milestone setup of the short parity runs; the converged experiment
     passes real values so both sides cross LR decays and early-stop on
@@ -147,6 +153,13 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
     # measurement with a precision difference. Must be set BEFORE any
     # backend-initializing call (jax.default_backend() would pin the tunnel).
     jax.config.update("jax_platforms", "cpu")
+    if float64:
+        # The precision-control mode: both sides in double. f32 trajectories
+        # at the published lr=0.01 diverge chaotically (step-size-amplified
+        # float noise — see PARITY.md); f64 shrinks the per-op noise floor
+        # ~1e9x, so if the divergence is noise (not semantics) the f64
+        # trajectories must glue. Must be set before any tracing.
+        jax.config.update("jax_enable_x64", True)
     import torch
 
     sys.path.insert(0, "/root/reference/model")
@@ -165,7 +178,9 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
                   else tuple(milestones))
     model_cfg = MegaCRNConfig(num_nodes=nodes, rnn_units=units,
                               mem_num=mem_num, mem_dim=mem_dim, horizon=seq,
-                              seq_len=seq, use_curriculum_learning=False)
+                              seq_len=seq, use_curriculum_learning=False,
+                              compute_dtype="float64" if float64
+                              else "float32")
     if protocol == "expytky":
         # model_EXPYTKY/traintest_MegaCRN.py:152-176 protocol knobs; the
         # double xavier_uniform init happens on the TORCH side below and is
@@ -192,6 +207,11 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
                            horizon=seq, batch_size=batch_size, seed=3,
                            min_speed=min_speed, missing_rate=missing_rate)
 
+    if float64:
+        # The reference model materialises hidden-state zeros at torch's
+        # default dtype (model/MegaCRN.py:68-71 init_hidden), so .double()
+        # on the parameters alone leaves float32 states in the graph.
+        torch.set_default_dtype(torch.float64)
     torch.manual_seed(7)
     tmodel = TorchMegaCRN(
         num_nodes=nodes, input_dim=model_cfg.input_dim,
@@ -200,6 +220,8 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
         cheb_k=model_cfg.cheb_k, ycov_dim=model_cfg.ycov_dim,
         cl_decay_steps=model_cfg.cl_decay_steps,
         use_curriculum_learning=False)
+    if float64:
+        tmodel = tmodel.double()
     if protocol == "expytky":
         # The reference's post-construction re-init
         # (model_EXPYTKY/traintest_MegaCRN.py:27-35).
@@ -213,7 +235,8 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
     init_params = params_from_flat(
         flat_from_torch_state_dict(tmodel.state_dict(),
                                    model_cfg.num_layers),
-        model_cfg.num_layers)
+        model_cfg.num_layers,
+        dtype=jax.numpy.float64 if float64 else jax.numpy.float32)
 
     import tempfile
 
@@ -237,7 +260,8 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
                    "mem_dim": mem_dim, "batch_size": batch_size,
                    "protocol": protocol, "patience": patience,
                    "milestones": list(milestones), "lr": lr,
-                   "min_speed": min_speed, "missing_rate": missing_rate},
+                   "min_speed": min_speed, "missing_rate": missing_rate,
+                   "float64": float64},
         "torch": {"val_trajectory": torch_res["val_trajectory"],
                   "test": torch_res["test"],
                   "best_val": torch_res["best_val"]},
@@ -384,6 +408,10 @@ if __name__ == "__main__":
                         "makes canonical masked MAPE well-conditioned "
                         "(zeros do not survive the scale/inverse roundtrip "
                         "exactly, leaving ~1e-7 denominators)")
+    p.add_argument("--float64", action="store_true",
+                   help="run BOTH sides in double precision (the published-"
+                        "lr chaos control: f64 trajectories must glue if "
+                        "the f32 divergence is float noise, not semantics)")
     p.add_argument("--tag", type=str, default=None,
                    help="section name in PARITY.md (default: protocol-N<nodes>)")
     p.add_argument("--report", action="store_true",
@@ -394,7 +422,8 @@ if __name__ == "__main__":
                      mem_dim=a.mem_dim, batch_size=a.batch,
                      protocol=a.protocol, patience=a.patience,
                      milestones=a.milestones, lr=a.lr,
-                     min_speed=a.min_speed, missing_rate=a.missing_rate)
+                     min_speed=a.min_speed, missing_rate=a.missing_rate,
+                     float64=a.float64)
     print(json.dumps(res, indent=1))
     if a.report:
         record_and_report(a.tag or f"{a.protocol}-N{a.nodes}", res)
