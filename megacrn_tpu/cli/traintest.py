@@ -106,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_node", type=int, default=1)
     p.add_argument("--ckpt_backend", type=str, default="npz",
                    choices=["npz", "orbax"])
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of --profile_steps "
+                        "steady-state steps of the first epoch into this "
+                        "directory (TensorBoard/xprof format)")
+    p.add_argument("--profile_steps", type=int, default=10)
     return p
 
 
@@ -385,7 +390,9 @@ def main(argv=None):
     result = fit(model_cfg, train_cfg, data, run, resume=args.resume,
                  test_every_epoch=args.test_every_epoch,
                  final_eval_fn=final_eval_fn, mesh=mesh,
-                 ckpt_backend=args.ckpt_backend, road_supports=road_supports)
+                 ckpt_backend=args.ckpt_backend, road_supports=road_supports,
+                 profile_dir=args.profile_dir,
+                 profile_steps=args.profile_steps)
     print({k: v for k, v in result["test_metrics"].items()})
     return result
 

@@ -76,10 +76,18 @@ def build_node_pattern(adj: np.ndarray, max_buckets: int = 4,
     if max_buckets > 1:
         from megacrn_tpu.kernels.spmm_ell_node import _bucket_splits
 
-        counts = np.bincount(np.nonzero(np.asarray(adj) != 0)[0],
-                             minlength=np.asarray(adj).shape[0])
-        flat_slots = len(counts) * max(1, int(counts.max()))
-        best_slots, _ = _bucket_splits(np.sort(counts), max_buckets)
+        # The savings estimate covers BOTH pattern sides: the forward pack
+        # buckets by out-degree, the transposed pack (the VJP's dx path) by
+        # in-degree — on asymmetric patterns their savings differ, so the
+        # threshold decision sums the real slot totals of both.
+        a = np.asarray(adj) != 0
+        flat_slots = 0
+        best_slots = 0
+        for counts in (np.bincount(np.nonzero(a)[0], minlength=a.shape[0]),
+                       np.bincount(np.nonzero(a)[1], minlength=a.shape[0])):
+            flat_slots += len(counts) * max(1, int(counts.max()))
+            s, _ = _bucket_splits(np.sort(counts), max_buckets)
+            best_slots += s
         if best_slots <= (1.0 - min_saving) * flat_slots:
             return build_node_pattern_bucketed(adj, max_buckets)
     a = np.asarray(adj) != 0

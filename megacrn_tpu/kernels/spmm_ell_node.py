@@ -218,9 +218,15 @@ def build_stacked_node_ell(supports, max_buckets: int = 4,
     rf, cf, vf = _lexsorted(*fwd_coo)
     rt, ct, vt = _lexsorted(*bwd_coo)
 
-    counts = np.bincount(rf, minlength=r_total)
-    flat_slots = r_total * max(1, int(counts.max()))
-    best_slots, _ = _bucket_splits(np.sort(counts), max_buckets)
+    # Savings estimate over BOTH packs (fwd buckets by out-degree, the VJP
+    # transpose by in-degree — they differ on asymmetric supports).
+    flat_slots = 0
+    best_slots = 0
+    for r_side in (rf, rt):
+        counts = np.bincount(r_side, minlength=r_total)
+        flat_slots += r_total * max(1, int(counts.max()))
+        s, _ = _bucket_splits(np.sort(counts), max_buckets)
+        best_slots += s
     if max_buckets > 1 and best_slots <= (1.0 - min_saving) * flat_slots:
         f_nbr, f_w, f_inv = _to_bucketed(rf, cf, vf, r_total, max_buckets)
         b_nbr, b_w, b_inv = _to_bucketed(rt, ct, vt, r_total, max_buckets)
@@ -231,11 +237,22 @@ def build_stacked_node_ell(supports, max_buckets: int = 4,
     return StackedNodeELL(fwd, bwd, s_num, n)
 
 
+def _occupied(nbr, w) -> int:
+    """Occupied-slot count of one (R, D) pack. Builders store only nonzero
+    COO values, so at build time ``w != 0`` alone is exact; the ``nbr != 0``
+    union keeps the count correct for packs whose weights were later cast
+    (e.g. a bf16 underflow) — only pads have nbr == 0 AND w == 0 (modulo an
+    underflowed edge pointing at column 0, which cannot be distinguished)."""
+    return int(np.count_nonzero((np.asarray(w) != 0)
+                                | (np.asarray(nbr) != 0)))
+
+
 def pack_nnz(pack) -> int:
     """True stored edge count of a stacked node-ELL pack (both variants)."""
     if isinstance(pack, BucketedStackedNodeELL):
-        return int(sum(np.count_nonzero(np.asarray(w)) for w in pack.fwd_w))
-    return int(np.count_nonzero(np.asarray(pack.pack.w)))
+        return sum(_occupied(nbr, w)
+                   for nbr, w in zip(pack.fwd_nbr, pack.fwd_w))
+    return _occupied(pack.pack.nbr, pack.pack.w)
 
 
 def _ell_apply(nbr, w, x):

@@ -122,11 +122,19 @@ def forward(
                                              mem["We2"], pattern)
             if isinstance(pattern, NodeELLPattern):
                 # Node-partition the learned graph on a mesh: (N, D) edge
-                # weights row-sharded over the node axis. (The bucketed
-                # layout's degree-sorted rows do not align with contiguous
-                # node blocks; its O(nnz) weights stay replicated.)
+                # weights row-sharded over the node axis.
                 weights = tuple(shard_fn("node_weights", w)
                                 for w in weights)
+            else:
+                # Bucketed layout: rows are degree-sorted, so they do not
+                # align with contiguous node blocks — but GSPMD needs no
+                # alignment, only an even row split of each per-bucket
+                # (n_b, D_b) weight array; it inserts the gather/scatter
+                # boundary collectives either way. Row-sharding keeps the
+                # O(nnz) learned weights (and their SDDMM/softmax compute)
+                # partitioned instead of replicated on the mesh.
+                weights = tuple(tuple(shard_fn("node_weights", w_b)
+                                      for w_b in w) for w in weights)
             supports = weights
 
             def aggregate(weights_, x_, k_):

@@ -216,6 +216,9 @@ def make_shardmap_train_step(
         return jitted(params, opt_state, x, y, y_cov, batches_seen, rng,
                       sup_arrays)
 
+    # Compiled-memory telemetry handle (train/loop.py:_log_compiled_memory).
+    run._jitted = jitted
+    run._extra_args = (sup_arrays,)
     return run
 
 

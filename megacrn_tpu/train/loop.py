@@ -44,6 +44,32 @@ def _reinit_xavier_uniform(params, key):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def _log_compiled_memory(run, train_step, params, opt_state, x0, y0, y_cov,
+                         batches_seen, rng):
+    """Best-effort, once per run: AOT-lower the already-compiled train step
+    at the live shapes and record its memory analysis (argument/temp/output
+    bytes) in metrics.jsonl. The persistent compilation cache dedups this
+    with the executing jit on TPU. Steps wrapped in Python closures that
+    don't expose a ``_jitted`` handle are skipped silently — observability
+    must never kill a run."""
+    from megacrn_tpu.train import telemetry as tele
+
+    jitted = getattr(train_step, "_jitted", None)
+    extra = getattr(train_step, "_extra_args", ())
+    if jitted is None and hasattr(train_step, "lower"):
+        jitted, extra = train_step, ()
+    if jitted is None:
+        return
+    try:
+        compiled = jitted.lower(params, opt_state, x0, y0, y_cov,
+                                jnp.float32(batches_seen), rng,
+                                *extra).compile()
+        run.log_metrics(
+            {"compiled_memory": tele.compiled_memory_stats(compiled)})
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def evaluate(eval_step, loader: BatchLoader, model_cfg: MegaCRNConfig,
              input_dim: int, output_dim: int) -> Dict[str, float]:
     device_metrics = []
@@ -76,6 +102,9 @@ def fit(
     ckpt_backend: str = "npz",
     road_supports=None,
     initial_params=None,
+    profile_dir: Optional[str] = None,
+    profile_steps: int = 10,
+    log_compiled_memory: bool = True,
 ) -> Dict:
     """Train MegaCRN with the reference protocol.
 
@@ -90,6 +119,11 @@ def fit(
     the Pallas road_sparse backend trains through the explicit shard_map
     data-parallel step (GSPMD cannot partition a custom call), the other
     backends through the GSPMD step.
+    ``profile_dir``: capture a jax.profiler trace (TensorBoard/xprof
+    format) of ``profile_steps`` steady-state steps of the first epoch
+    (the compile step is excluded). ``log_compiled_memory``: record the
+    compiled train step's argument/temp/output byte sizes in metrics.jsonl
+    after the first compile (SURVEY.md section 5 tracing/profiling row).
     Returns {params, best_val, test_metrics, epochs_run}.
     """
     if ckpt_backend not in ("npz", "orbax"):
@@ -193,6 +227,25 @@ def fit(
         def eval_step(x0, y0, y_cov):
             x0s, ycs = place_batch((x0, y_cov))
             return metrics_fn(eval_fwd(params, x0s, ycs), y0)
+    elif mesh is not None:
+        # GSPMD mesh eval (dense / sparse_meta): place the eval batches on
+        # the mesh like the train batches and forward through the
+        # constraint-pinned program, so eval compute partitions over the
+        # data (and node) axes instead of falling back to one device
+        # (round-4 VERDICT weak item 4 — the GSPMD analog of the shard_map
+        # branch above).
+        from megacrn_tpu.parallel.api import make_sharded_eval_forward
+        from megacrn_tpu.train.steps import _metric_steps, eval_metrics
+
+        eval_fwd = make_sharded_eval_forward(model_cfg, mesh,
+                                             road_supports=road_supports)
+        msteps = _metric_steps(model_cfg.horizon)
+        metrics_fn = jax.jit(lambda out, y: eval_metrics(
+            out, y, train_cfg, mean, std, msteps))
+
+        def eval_step(x0, y0, y_cov):
+            x0s, ycs = place_batch((x0, y_cov))
+            return metrics_fn(eval_fwd(params, x0s, ycs), y0)
     else:
         eval_raw = make_eval_step(model_cfg, train_cfg, mean, std,
                                   road_supports=road_supports)
@@ -247,10 +300,27 @@ def fit(
                 std = np.asarray(meta["scaler_std_arr"])
             logger.info("resumed from", run.checkpoint_path, "epoch", start_epoch)
 
+    # Per-epoch throughput accounting (telemetry.StepTimer's edges/s
+    # derivation, amortized at epoch granularity so no per-step host sync
+    # is added on the stall-prone tunnel). The analytic edge count covers
+    # the dense backends; sparse backends report steps/s only (bench.py
+    # carries their nnz-exact accounting).
+    from megacrn_tpu.train import telemetry as tele
+
+    edges_per_step = None
+    if model_cfg.graph_backend in ("dense", "dense_ring"):
+        edges_per_step = tele.edge_traversals_per_step(
+            model_cfg.num_nodes, model_cfg.cheb_k, model_cfg.seq_len,
+            model_cfg.horizon, train_cfg.batch_size, model_cfg.num_supports)
+    mem_logged = not log_compiled_memory
+    profile_pending = profile_dir is not None
+    profile_active = False
+
     epochs = max_epochs if max_epochs is not None else train_cfg.epochs
     epochs_run = 0
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
+        step_in_epoch = 0
         train_losses = []
         key, k_epoch = jax.random.split(key)  # one host RNG op per EPOCH;
         # per-step keys are folded in on-device inside train_step
@@ -264,12 +334,33 @@ def fit(
                 jnp.float32(batches_seen), k_epoch)
             train_losses.append(loss)
             batches_seen += 1
+            step_in_epoch += 1
+            if not mem_logged:
+                mem_logged = True
+                _log_compiled_memory(run, train_step, params, opt_state,
+                                     x0, y0, y_cov, batches_seen, k_epoch)
+            if profile_pending and not profile_active and step_in_epoch == 1:
+                # Steady-state trace window: the first step (compile +
+                # warmup) completes before the trace starts.
+                float(loss)
+                jax.profiler.start_trace(profile_dir)
+                profile_active = True
+            elif profile_active and step_in_epoch == 1 + profile_steps:
+                float(loss)  # drain so the trace contains the real work
+                jax.profiler.stop_trace()
+                profile_active = False
+                profile_pending = False
             if batches_seen % 10 == 0:
                 # Periodic host sync: bounds the async dispatch queue (the
                 # axon TPU tunnel wedges on deep unsynced queues) at
                 # negligible amortized cost.
                 float(loss)
         train_loss = float(np.mean([float(l) for l in train_losses]))
+        train_dt = time.time() - t0  # the float() drain above synced
+        if profile_active:  # epoch shorter than the trace window
+            jax.profiler.stop_trace()
+            profile_active = False
+            profile_pending = False
 
         val = evaluate(eval_step, data["val_loader"], model_cfg,
                        model_cfg.input_dim, model_cfg.output_dim)
@@ -279,8 +370,13 @@ def fit(
                f"{dt:.1f}s")
         logger.info(msg)
         run.append_epochlog(msg)
+        sec_per_step = train_dt / max(step_in_epoch, 1)
+        throughput = {"sec_per_step": sec_per_step,
+                      "steps_per_sec": 1.0 / sec_per_step}
+        if edges_per_step is not None:
+            throughput["edges_per_sec"] = edges_per_step / sec_per_step
         run.log_metrics({"epoch": epoch + 1, "train_loss": train_loss,
-                         "val": val, "seconds": dt})
+                         "val": val, "seconds": dt, **throughput})
 
         if test_every_epoch:
             test = evaluate(eval_step, data["test_loader"], model_cfg,

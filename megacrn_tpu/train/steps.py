@@ -129,6 +129,11 @@ def make_train_step(
         return _step(params, opt_state, x, y, y_cov, batches_seen, rng,
                      sup_arrays)
 
+    # Expose the jitted callable (+ its closed-over trailing args) so the
+    # harness can AOT-lower it for compiled-memory telemetry
+    # (train/loop.py:_log_compiled_memory).
+    train_step._jitted = _step
+    train_step._extra_args = (sup_arrays,)
     return train_step
 
 

@@ -384,6 +384,89 @@ def test_sharded_train_step_sparse_meta_node_matches_single_device():
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_sharded_train_step_sparse_meta_node_bucketed_matches_single_device():
+    """The BUCKETED node-granular learned pattern under GSPMD: per-bucket
+    edge-weight arrays row-shard over the node axis (degree-sorted rows
+    need no node-block alignment under GSPMD — it inserts the boundary
+    collectives), and the mesh update matches 1-device math. Round-4
+    VERDICT item 4: the bucketed (default, fastest) learned layout no
+    longer forgoes node partitioning."""
+    from megacrn_tpu.kernels.sparse_graph_node import (
+        BucketedNodeELLPattern, build_node_pattern_bucketed)
+
+    cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=4, seq_len=4, graph_backend="sparse_meta")
+    rs = np.random.RandomState(5)
+    adj = (rs.rand(16, 16) < 0.3).astype(np.float32)
+    adj[2] = 1.0  # hub row -> spread degree profile, real buckets
+    np.fill_diagonal(adj, 1)
+    pattern = build_node_pattern_bucketed(adj, max_buckets=3)
+    assert isinstance(pattern, BucketedNodeELLPattern)
+    assert len(pattern.nbr) > 1  # actually multi-bucket
+
+    params = megacrn.init_params(jax.random.PRNGKey(9), cfg)
+    opt = make_optimizer(TCFG, steps_per_epoch=10)
+    x, y, ycov = _batch()
+    rng = jax.random.PRNGKey(10)
+
+    base_step = make_train_step(cfg, TCFG, opt, road_supports=pattern)
+    p1, o1, loss1 = base_step(params, opt.init(params), x, y, ycov, 1e9, rng)
+
+    mesh = make_mesh(2, 4)
+    sp = shard_params(params, mesh)
+    so = opt.init(sp)
+    sx, sy, sycov = shard_batch((x, y, ycov), mesh)
+    step = make_sharded_train_step(cfg, TCFG, opt, mesh, donate=False,
+                                   road_supports=pattern)
+    p2, o2, loss2 = step(sp, so, sx, sy, sycov, 1e9, rng)
+
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_road_node_train_step_two_layers_matches_single_device():
+    """Mesh-matrix hardening (round-4 VERDICT item 7): the node-partitioned
+    road backend with num_layers=2 — deeper cell stacks re-enter the
+    sharded aggregation with layer-local states — must still reproduce the
+    single-device update on the (2, 4) mesh."""
+    from megacrn_tpu.data.synthetic import synthetic_road_adjacency
+    from megacrn_tpu.kernels.spmm_ell_node import (build_stacked_node_ell,
+                                                   shard_node_ell)
+    from megacrn_tpu.ops.graph import dual_random_walk_supports
+    from megacrn_tpu.parallel.api import make_road_node_train_step
+
+    n = 16
+    s1, s2 = dual_random_walk_supports(
+        synthetic_road_adjacency(n, avg_degree=4, seed=6))
+    cfg = MegaCRNConfig(num_nodes=n, rnn_units=8, mem_num=4, mem_dim=8,
+                        horizon=4, seq_len=4, num_layers=2,
+                        cl_decay_steps=10, graph_backend="road_sparse")
+    params = megacrn.init_params(jax.random.PRNGKey(11), cfg)
+    opt = make_optimizer(TCFG, steps_per_epoch=10)
+    x, y, ycov = _batch()
+    rng = jax.random.PRNGKey(12)
+
+    base = make_train_step(cfg, TCFG, opt,
+                           road_supports=build_stacked_node_ell(
+                               [s1, s2], max_buckets=1))
+    p1, _, loss1 = base(params, opt.init(params), x, y, ycov, 5.0, rng)
+
+    mesh = make_mesh(2, 4)
+    step = make_road_node_train_step(
+        cfg, TCFG, opt, mesh, shard_node_ell([s1, s2], 4), donate=False)
+    xs, ys, ycs = shard_batch((x, y, ycov), mesh)
+    p2, _, loss2 = step(params, opt.init(params), xs, ys, ycs,
+                        jnp.float32(5.0), rng)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_sharded_api_rejects_road_sparse_gspmd():
     mesh = make_mesh(2, 4)
     cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
@@ -677,6 +760,41 @@ def test_fit_with_mesh_road_node_end_to_end(tmp_path):
     result = fit(model_cfg, train_cfg, data, run, test_every_epoch=False,
                  mesh=mesh, road_supports=shard_road_packs(dense_supports, 4))
     assert np.isfinite(result["best_val"]) and result["epochs_run"] == 1
+
+
+def test_fit_gspmd_mesh_eval_matches_single_device(tmp_path):
+    """fit's GSPMD-mesh branch evaluates DATA-PARALLEL (batches placed with
+    shard_batch through make_sharded_eval_forward) and must reproduce the
+    single-device val/test metrics of an identical run without a mesh
+    (round-4 VERDICT weak item 4)."""
+    from megacrn_tpu.data.datasets import build_synthetic
+    from megacrn_tpu.train.logs import RunDir
+    from megacrn_tpu.train.loop import fit
+
+    model_cfg = MegaCRNConfig(num_nodes=16, rnn_units=8, mem_num=4, mem_dim=8,
+                              horizon=3, seq_len=3, cl_decay_steps=20)
+    train_cfg = TrainConfig(batch_size=16, epochs=1, patience=5, seed=3,
+                            lr_milestones=(100,))
+
+    def make_data():
+        # Pinned shuffle_rng: the loader's ONE-SHOT shuffle draws from a
+        # fresh OS-entropy default_rng otherwise (reference parity), which
+        # would give the two runs different batch orders.
+        return build_synthetic(num_nodes=16, num_steps=300, seq_len=3,
+                               horizon=3, batch_size=16,
+                               shuffle_rng=np.random.default_rng(7))
+
+    run_a = RunDir(str(tmp_path / "a"), "SYNTH", snapshot_sources=False)
+    res_a = fit(model_cfg, train_cfg, make_data(), run_a,
+                test_every_epoch=False)
+    run_b = RunDir(str(tmp_path / "b"), "SYNTH", snapshot_sources=False)
+    res_b = fit(model_cfg, train_cfg, make_data(), run_b,
+                test_every_epoch=False, mesh=make_mesh(2, 4))
+    np.testing.assert_allclose(res_b["best_val"], res_a["best_val"],
+                               rtol=1e-5)
+    for k in ("mae", "mape", "rmse"):
+        np.testing.assert_allclose(res_b["test_metrics"][k],
+                                   res_a["test_metrics"][k], rtol=1e-4)
 
 
 def test_fit_with_mesh_resume_step_identical(tmp_path):
