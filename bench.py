@@ -39,7 +39,34 @@ import time
 import jax
 
 
-def bench_config(backend, n, batch, steps, seq=6, horizon=6):
+def _median(xs):
+    """True median: averages the two middle blocks on even counts (a bare
+    ``sorted[n//2]`` would report the pessimistic upper block for the
+    2-block 20-step configs)."""
+    xs = sorted(xs)
+    m = len(xs) // 2
+    return xs[m] if len(xs) % 2 else 0.5 * (xs[m - 1] + xs[m])
+
+
+def _timed_blocks(step_once, steps):
+    """Median-of-10-step-blocks wall time for ``step_once(i)`` (which must
+    keep its own state and return the loss array). Sync via float() per
+    block — the axon tunnel's block_until_ready does not reliably block."""
+    block_times = []
+    i = 0
+    loss = None
+    for _ in range(max(1, steps // 10)):
+        t0 = time.time()
+        for _ in range(10):
+            loss = step_once(i)
+            i += 1
+        loss_val = float(loss)
+        block_times.append((time.time() - t0) / 10)
+    return _median(block_times), loss_val
+
+
+def bench_config(backend, n, batch, steps, seq=6, horizon=6, units=32,
+                 mem_num=10, mem_dim=32):
     """One measured config: full train step (forward+backward+Adam, donated
     buffers, bf16 compute), median of 10-step blocks."""
     import jax.numpy as jnp
@@ -51,7 +78,7 @@ def bench_config(backend, n, batch, steps, seq=6, horizon=6):
     from megacrn_tpu.train.steps import make_train_step
 
     cfg = MegaCRNConfig(num_nodes=n, seq_len=seq, horizon=horizon,
-                        rnn_units=32, mem_num=10, mem_dim=32,
+                        rnn_units=units, mem_num=mem_num, mem_dim=mem_dim,
                         use_curriculum_learning=True,
                         graph_backend=("road_sparse" if backend == "ell"
                                        else "dense"),
@@ -95,19 +122,14 @@ def bench_config(backend, n, batch, steps, seq=6, horizon=6):
     # MEDIAN block defends against the tunnel's intermittent ~180 s
     # stall-and-recover episodes polluting the measurement.
     key = jax.random.PRNGKey(3)  # per-step keys fold in on-device
-    block_times = []
-    i = 0
-    loss_val = 0.0
-    for _ in range(max(1, steps // 10)):
-        t0 = time.time()
-        for _ in range(10):
-            params, opt_state, loss = step(params, opt_state, x, y, ycov,
-                                           float(i), key)
-            i += 1
-        loss_val = float(loss)
-        block_times.append((time.time() - t0) / 10)
-    block_times.sort()
-    sec_per_step = block_times[len(block_times) // 2]
+    state = {"p": params, "o": opt_state}
+
+    def step_once(i):
+        state["p"], state["o"], loss = step(state["p"], state["o"], x, y,
+                                            ycov, float(i), key)
+        return loss
+
+    sec_per_step, loss_val = _timed_blocks(step_once, steps)
 
     apps = cfg.cheb_k - 1   # A-applications per support stack
     aggs = 2                # [x||h] stack + candidate stack
@@ -118,6 +140,90 @@ def bench_config(backend, n, batch, steps, seq=6, horizon=6):
         "gedges": edges_per_sec / 1e9,
         "loss_finite": bool(loss_val == loss_val),
     }
+
+
+def bench_gts(steps=20, train_series_len=23990, batch=64):
+    """GTS train step at the published METR-LA config (model/traintest_GTS.py
+    defaults: N=207, 12->12, units 64, diffusion 3, B=64) INCLUDING the
+    full-training-series Conv1d feature extractor (model/GTS.py:423-434,
+    T_train=23990) inside every forward — the honest per-step cost.
+    edges/s accounting: one sampled (N, N) dense support, max_diffusion_step
+    A-applications per gconv, 2 gconvs per DCGRU cell, (seq+horizon) cells."""
+    import numpy as np
+    import optax
+
+    from megacrn_tpu.config import GTSConfig, TrainConfig
+    from megacrn_tpu.data.graph_prior import cosine_knn_graph
+    from megacrn_tpu.models import gts
+    from megacrn_tpu.train.gts_loop import make_gts_train_step
+
+    cfg = GTSConfig(train_series_len=train_series_len)
+    tcfg = TrainConfig(batch_size=batch)
+    params, bn_state = gts.init_params(jax.random.PRNGKey(0), cfg)
+    feas = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(1), (train_series_len, cfg.num_nodes)), np.float32)
+    opt = optax.adam(1e-3, eps=1e-3)
+    step = make_gts_train_step(cfg, tcfg, opt, 0.0, 1.0, feas,
+                               cosine_knn_graph(feas, cfg.knn_k))
+    ks = jax.random.split(jax.random.PRNGKey(2), 2)
+    x = jax.random.normal(ks[0], (batch, cfg.seq_len, cfg.num_nodes,
+                                  cfg.input_dim))
+    y = jax.random.normal(ks[1], (batch, cfg.horizon, cfg.num_nodes,
+                                  cfg.output_dim))
+    state = {"p": params, "b": bn_state, "o": opt.init(params)}
+    key = jax.random.PRNGKey(3)
+
+    def step_once(i):
+        state["p"], state["b"], state["o"], loss = step(
+            state["p"], state["b"], state["o"], x, y, float(i), key)
+        return loss
+
+    float(step_once(0))  # warmup / compile
+    sec_per_step, loss_val = _timed_blocks(step_once, steps)
+    n = cfg.num_nodes
+    edges = (n * n) * cfg.max_diffusion_step * 2 * (
+        cfg.seq_len + cfg.horizon) * batch
+    return {"sec_per_step": sec_per_step, "gedges": edges / sec_per_step / 1e9,
+            "loss_finite": bool(loss_val == loss_val)}
+
+
+def bench_megacrnx(steps=20, batch=64):
+    """MegaCRNx train step at its protocol config
+    (model_futurework/traintest_MegaCRNx.py defaults: N=207, 12->12,
+    units 32, mem 10/32, stepwise decoder, MaskMAE, B=64). edges/s: one
+    learned (N, N) support, (cheb_k - 1) A-applications per Chebyshev
+    stack, 2 stacks per cell, (seq+horizon) cells."""
+    import optax
+
+    from megacrn_tpu.models import megacrnx
+    from megacrn_tpu.train.megacrnx_loop import (MegaCRNxTrainConfig,
+                                                 make_megacrnx_train_step)
+
+    cfg = megacrnx.MegaCRNxConfig()
+    tcfg = MegaCRNxTrainConfig(batch_size=batch)
+    params = megacrnx.init_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(tcfg.lr)
+    step = make_megacrnx_train_step(cfg, tcfg, opt, 0.0, 1.0, donate=True)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(ks[0], (batch, cfg.seq_len, cfg.num_nodes,
+                                  cfg.input_dim))
+    y = jax.random.normal(ks[1], (batch, cfg.horizon, cfg.num_nodes,
+                                  cfg.output_dim)) + 1.0
+    ycov = jax.random.normal(ks[2], (batch, cfg.horizon, cfg.num_nodes,
+                                     cfg.ycov_dim))
+    state = {"p": params, "o": opt.init(params)}
+
+    def step_once(i):
+        state["p"], state["o"], vals = step(state["p"], state["o"], x, y,
+                                            ycov)
+        return vals[0]
+
+    float(step_once(0))  # warmup / compile
+    sec_per_step, loss_val = _timed_blocks(step_once, steps)
+    n = cfg.num_nodes
+    edges = (n * n) * (cfg.cheb_k - 1) * 2 * (cfg.seq_len + cfg.horizon) * batch
+    return {"sec_per_step": sec_per_step, "gedges": edges / sec_per_step / 1e9,
+            "loss_finite": bool(loss_val == loss_val)}
 
 
 def main():
@@ -140,21 +246,36 @@ def main():
 
     device = str(jax.devices()[0])
     matrix = [
-        # (backend, n, batch, steps, is_headline)
-        ("dense", 2841, 64, 30, False),
-        ("dense", 16384, 8, 20, False),
-        ("ell", 16384, 8, 20, False),
-        ("ell", 32768, 4, 20, False),
-        ("dense", 1843, 64, 30, True),  # headline LAST (comparable series)
+        # (runner, config label, is_headline)
+        (lambda: bench_config("dense", 2841, 64, 30),
+         "dense N=2841 B=64 6->6 units32", False),
+        (lambda: bench_config("dense", 16384, 8, 20),
+         "dense N=16384 B=8 6->6 units32", False),
+        (lambda: bench_config("ell", 16384, 8, 20),
+         "ell N=16384 B=8 6->6 units32", False),
+        (lambda: bench_config("ell", 32768, 4, 20),
+         "ell N=32768 B=4 6->6 units32", False),
+        # The published-protocol shapes of the OTHER datasets/families
+        # (round-4 VERDICT item 3): PEMS-BAY dense, GTS with the
+        # full-series Conv1d extractor, MegaCRNx stepwise.
+        (lambda: bench_config("dense", 325, 64, 30, seq=12, horizon=12,
+                              units=64, mem_num=20, mem_dim=64),
+         "dense N=325 B=64 12->12 units64 [PEMSBAY]", False),
+        (lambda: bench_gts(20),
+         "GTS N=207 B=64 12->12 units64 diff3 Tfeat=23990 [METRLA]", False),
+        (lambda: bench_megacrnx(20),
+         "MegaCRNx N=207 B=64 12->12 units32 mem10/32 [protocol]", False),
+        # Headline LAST (the cross-round comparable series).
+        (lambda: bench_config("dense", 1843, 64, 30),
+         "dense N=1843 B=64 6->6 units32 [headline EXPYTKY-1843]", True),
     ]
-    for backend, n, batch, steps, headline in matrix:
+    for runner, label, headline in matrix:
         try:
-            r = bench_config(backend, n, batch, steps)
+            r = runner()
         except Exception as e:  # OOM/tunnel: keep the rest of the matrix
             print(json.dumps({
                 "metric": "train_edges_per_sec", "value": 0.0,
-                "unit": "Gedges/s", "vs_baseline": 0.0,
-                "config": f"{backend} N={n} B={batch}",
+                "unit": "Gedges/s", "vs_baseline": 0.0, "config": label,
                 "error": f"{type(e).__name__}: {str(e)[:160]}"}), flush=True)
             continue
         vs = (ref_sec / r["sec_per_step"]
@@ -165,8 +286,7 @@ def main():
             "unit": "Gedges/s",
             "vs_baseline": round(vs, 2),
             "sec_per_step": round(r["sec_per_step"], 5),
-            "config": f"{backend} N={n} B={batch} 6->6 units32"
-                      + (" [headline EXPYTKY-1843]" if headline else ""),
+            "config": label,
             "device": device,
             "loss_finite": r["loss_finite"],
         }), flush=True)
