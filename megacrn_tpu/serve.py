@@ -89,23 +89,134 @@ class Predictor:
         omitted). Returns (B, horizon, N, output_dim) raw-scale forecasts."""
         cfg = self.cfg
         x = np.asarray(x, np.float32)
-        b = x.shape[0]
         if y_cov is None:
-            y_cov = np.zeros((b, cfg.horizon, cfg.num_nodes, cfg.ycov_dim),
-                             np.float32)
-        outs = []
-        for s in range(0, b, self.max_batch):
-            xb = x[s:s + self.max_batch]
-            yb = y_cov[s:s + self.max_batch]
-            nb = len(xb)
-            if nb < self.max_batch:  # pad to the compiled batch
-                pad = self.max_batch - nb
-                xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)])
-                yb = np.concatenate([yb, np.repeat(yb[-1:], pad, 0)])
-            out = self._fwd(self.params, jnp.asarray(xb), jnp.asarray(yb),
-                            self.mean, self.std)
-            outs.append(np.asarray(out)[:nb])
-        return np.concatenate(outs, axis=0)
+            y_cov = np.zeros((x.shape[0], cfg.horizon, cfg.num_nodes,
+                              cfg.ycov_dim), np.float32)
+        return _run_batched(
+            lambda xb, yb: self._fwd(self.params, xb, yb, self.mean,
+                                     self.std),
+            self.max_batch, (x, np.asarray(y_cov, np.float32)))
+
+
+def _run_batched(fwd, max_batch: int, arrays) -> np.ndarray:
+    """Chunk/pad a request to the compiled batch size and call ``fwd`` on
+    each chunk (shared by every predictor: the jitted program never
+    recompiles). ``arrays``: tuple of (B, ...) numpy arrays."""
+    b = arrays[0].shape[0]
+    outs = []
+    for s in range(0, b, max_batch):
+        chunk = [a[s:s + max_batch] for a in arrays]
+        nb = len(chunk[0])
+        if nb < max_batch:  # pad to the compiled batch
+            pad = max_batch - nb
+            chunk = [np.concatenate([c, np.repeat(c[-1:], pad, 0)])
+                     for c in chunk]
+        out = fwd(*[jnp.asarray(c) for c in chunk])
+        outs.append(np.asarray(out)[:nb])
+    return np.concatenate(outs, axis=0)
+
+
+class GTSPredictor:
+    """Batch forecaster around a trained GTS model (the second family).
+
+    The graph learner consumes the NORMALIZED training series
+    (``node_feas``, model/GTS.py:423-434) — it is deployed state alongside
+    the weights and BatchNorm stats. Inference samples the graph
+    deterministically (argmax, no Gumbel noise) and runs BatchNorm in
+    inference mode, matching the reference eval path
+    (model/traintest_GTS.py:104-120).
+    """
+
+    def __init__(self, params: Dict, bn_state: Dict, cfg, node_feas,
+                 scaler_mean: float = 0.0, scaler_std: float = 1.0,
+                 max_batch: int = 64):
+        from megacrn_tpu.models import gts
+
+        self.params, self.bn_state = params, bn_state
+        self.cfg = cfg
+        self.mean, self.std = float(scaler_mean), float(scaler_std)
+        self.max_batch = max_batch
+        feas = jnp.asarray(node_feas)
+
+        @jax.jit
+        def fwd(params, bn_state, x, mean, std):
+            x = x.at[..., 0].set((x[..., 0] - mean) / std)
+            out = gts.forward(params, bn_state, x[..., : cfg.input_dim],
+                              feas, cfg, training=False, gumbel_noise=False)
+            return inverse_transform(out.output, std, mean)
+
+        self._fwd = lambda x: fwd(self.params, self.bn_state, x, self.mean,
+                                  self.std)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg, node_feas,
+                        max_batch: int = 64) -> "GTSPredictor":
+        """Loads the (params, params.bn) checkpoint pair written by
+        ``train.gts_loop.fit_gts``."""
+        from megacrn_tpu.models import gts
+        from megacrn_tpu.train import checkpoint as ckpt
+
+        p_tmpl, b_tmpl = gts.init_params(jax.random.PRNGKey(0), cfg)
+        params, _, meta = ckpt.load_checkpoint(path, p_tmpl)
+        bn_state, _, _ = ckpt.load_checkpoint(path + ".bn", b_tmpl)
+        return cls(params, bn_state, cfg, node_feas,
+                   meta.get("scaler_mean", 0.0), meta.get("scaler_std", 1.0),
+                   max_batch)
+
+    def predict(self, x: np.ndarray, y_cov=None) -> np.ndarray:
+        """x: (B, seq_len, N, >=input_dim) RAW windows, channel 0 = speed.
+        ``y_cov`` is accepted for StreamingForecaster compatibility and
+        ignored — GTS has no decoder covariates (model/GTS.py:387-410)."""
+        del y_cov
+        x = np.asarray(x, np.float32)
+        return _run_batched(self._fwd, self.max_batch, (x,))
+
+
+class MegaCRNxPredictor:
+    """Batch forecaster around a trained MegaCRNx (the third family) —
+    deterministic forward (no scheduled sampling), raw-scale output per its
+    protocol (model_futurework/traintest_MegaCRNx.py: normalized x,
+    raw-scale targets)."""
+
+    def __init__(self, params: Dict, cfg, scaler_mean: float = 0.0,
+                 scaler_std: float = 1.0, max_batch: int = 64):
+        from megacrn_tpu.models import megacrnx
+
+        self.params = params
+        self.cfg = cfg
+        self.mean, self.std = float(scaler_mean), float(scaler_std)
+        self.max_batch = max_batch
+
+        @jax.jit
+        def fwd(params, x, y_cov, mean, std):
+            x = x.at[..., 0].set((x[..., 0] - mean) / std)
+            out = megacrnx.forward(params, x[..., : cfg.input_dim], y_cov,
+                                   cfg)
+            return inverse_transform(out.output, std, mean)
+
+        self._fwd = lambda x, yc: fwd(self.params, x, yc, self.mean,
+                                      self.std)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg,
+                        max_batch: int = 64) -> "MegaCRNxPredictor":
+        from megacrn_tpu.models import megacrnx
+        from megacrn_tpu.train import checkpoint as ckpt
+
+        template = megacrnx.init_params(jax.random.PRNGKey(0), cfg)
+        params, _, meta = ckpt.load_checkpoint(path, template)
+        return cls(params, cfg, meta.get("scaler_mean", 0.0),
+                   meta.get("scaler_std", 1.0), max_batch)
+
+    def predict(self, x: np.ndarray,
+                y_cov: Optional[np.ndarray] = None) -> np.ndarray:
+        cfg = self.cfg
+        x = np.asarray(x, np.float32)
+        if y_cov is None:
+            y_cov = np.zeros((x.shape[0], cfg.horizon, cfg.num_nodes,
+                              cfg.ycov_dim), np.float32)
+        return _run_batched(self._fwd, self.max_batch,
+                            (x, np.asarray(y_cov, np.float32)))
 
 
 class StreamingForecaster:

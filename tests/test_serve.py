@@ -89,3 +89,73 @@ def test_predictor_sparse_backend():
                           cfg, road_supports=packs).output
     np.testing.assert_allclose(out, np.asarray(ref) * 8.0 + 40.0,
                                atol=1e-4, rtol=1e-4)
+
+
+def test_gts_predictor_matches_eval_forward(tmp_path):
+    """GTSPredictor (second family serving, round-4 VERDICT item 8): raw
+    windows in -> raw forecasts out must equal the deterministic eval
+    forward on normalized inputs; checkpoint round trip included."""
+    import jax.numpy as jnp
+
+    from megacrn_tpu.config import GTSConfig
+    from megacrn_tpu.models import gts
+    from megacrn_tpu.serve import GTSPredictor
+
+    cfg = GTSConfig(num_nodes=8, input_dim=1, output_dim=1, horizon=3,
+                    seq_len=4, rnn_units=8, max_diffusion_step=2,
+                    train_series_len=60, knn_k=3, embedding_dim=16)
+    params, bn_state = gts.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(3)
+    feas = rng.randn(60, 8).astype(np.float32)
+    mean, std = 50.0, 10.0
+    path = str(tmp_path / "gts.npz")
+    ckpt.save_checkpoint(path, params,
+                         metadata={"scaler_mean": mean, "scaler_std": std})
+    ckpt.save_checkpoint(path + ".bn", bn_state)
+    pred = GTSPredictor.from_checkpoint(path, cfg, feas, max_batch=4)
+
+    x = (rng.rand(6, 4, 8, 1) * 70).astype(np.float32)
+    got = pred.predict(x)
+    xn = (x - mean) / std
+    want = np.asarray(gts.forward(params, bn_state, jnp.asarray(xn), feas,
+                                  cfg, training=False,
+                                  gumbel_noise=False).output) * std + mean
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    assert got.shape == (6, 3, 8, 1)
+
+
+def test_megacrnx_predictor_matches_forward(tmp_path):
+    """MegaCRNxPredictor (third family serving): raw-in/raw-out equality vs
+    the deterministic forward, through a checkpoint round trip."""
+    from megacrn_tpu.models import megacrnx
+    from megacrn_tpu.serve import MegaCRNxPredictor
+
+    cfg = megacrnx.MegaCRNxConfig(num_nodes=8, horizon=3, seq_len=4,
+                                  rnn_units=8, mem_num=4, mem_dim=8)
+    params = megacrnx.init_params(jax.random.PRNGKey(1), cfg)
+    mean, std = 40.0, 8.0
+    path = str(tmp_path / "mx.npz")
+    ckpt.save_checkpoint(path, params,
+                         metadata={"scaler_mean": mean, "scaler_std": std})
+    pred = MegaCRNxPredictor.from_checkpoint(path, cfg, max_batch=4)
+
+    rng = np.random.RandomState(4)
+    x = (rng.rand(4, 4, 8, 1) * 70).astype(np.float32)
+    ycov = rng.randn(4, 3, 8, 1).astype(np.float32)
+    got = pred.predict(x, ycov)
+    xn = (x - mean) / std
+    want = np.asarray(
+        megacrnx.forward(params, xn, ycov, cfg).output) * std + mean
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    assert got.shape == (4, 3, 8, 1)
+
+    # Chunk/pad consistency on a non-divisible request: per-row results
+    # equal the row-at-a-time predictions modulo f32 batch-reduction noise,
+    # which the MegaCRNx recurrence (stepwise decoder re-querying memory
+    # each step) compounds to ~1e-3 relative on this scale.
+    x7 = (rng.rand(7, 4, 8, 1) * 70).astype(np.float32)
+    yc7 = rng.randn(7, 3, 8, 1).astype(np.float32)
+    out7 = pred.predict(x7, yc7)
+    single = np.concatenate([pred.predict(x7[i:i + 1], yc7[i:i + 1])
+                             for i in range(7)])
+    np.testing.assert_allclose(out7, single, atol=0.1, rtol=5e-3)
