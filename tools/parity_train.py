@@ -348,6 +348,29 @@ def write_report(runs: dict, path="PARITY.md"):
         "lr=0.002 variant with 2% missing values early-stopped at the",
         "identical epoch 24 on both sides).",
         "",
+        "Note on the float64 lr=0.01 control",
+        "(canonical-metrla-N207-f64-lr0.01): the round-4 chaos explanation",
+        "is now MEASURED, not inferred. Both sides run in double (torch",
+        "set_default_dtype(float64)+.double(); jax x64 with",
+        "compute_dtype='float64'; torch-exact clip_grad_norm_ semantics",
+        "max_norm/(norm+1e-6)) at the PUBLISHED lr=0.01 through both",
+        "MultiStepLR milestones. Result: final best-checkpoint test metrics",
+        "agree to MAE 8.2e-4 / MAPE 1.5e-4 / RMSE 7.8e-4 relative — the",
+        "same optimum — where the f32 pair at this lr landed in different",
+        "basins (MAE rel 0.14). A transient mid-run divergence (peak 7.5%",
+        "at epoch 6) remains and is pure noise-seeded chaos:",
+        "tools/parity_divergence.py steps both frameworks from identical",
+        "weights in BOTH precisions and shows the per-step relative loss",
+        "difference starting at each precision's noise floor (6.6e-7 f32,",
+        "2.8e-15 f64), growing at the SAME ~10^2.5-per-step rate, and",
+        "saturating at the same level — f64 tracks bit-near (3e-16) for 8",
+        "steps, f32 for 3; precision shifts the divergence ONSET, never the",
+        "dynamics, which is exactly the signature of float noise under an",
+        "edge-of-stability step size and the opposite of a semantic",
+        "difference (which would appear as a precision-independent offset",
+        "from step 1). The epoch-8/16 LR decays then re-glue the f64 pair",
+        "(epochs 14-20 vals within 5.5e-4..1.6e-3).",
+        "",
         "Note on GTS: the straight-through hard-argmax graph sampler is a",
         "DISCONTINUOUS function of the logits, so once any edge flips from",
         "accumulated float drift the trajectories legitimately diverge;",
