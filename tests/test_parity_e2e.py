@@ -44,6 +44,37 @@ def test_train_trajectories_match_reference_expytky_protocol():
         np.testing.assert_allclose(j["test"][k], t["test"][k], rtol=1e-2)
 
 
+def test_float64_trajectories_bit_near():
+    """The precision-control mode (round-4 VERDICT item 2): in double, both
+    frameworks' val trajectories must be bit-near (<=1e-9 rel after an
+    epoch at a stable step size) — regression guard for the f64 plumbing
+    (compute_dtype threading, target-dtype alignment, torch-exact clip).
+    Subprocess-hermetic: jax_enable_x64 must not leak into other tests."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "parity_train.py"),
+         "--nodes", "8", "--epochs", "1", "--steps", "200", "--units", "8",
+         "--batch", "32", "--float64", "--missing_rate", "0",
+         "--min_speed", "20"],
+        capture_output=True, text=True, cwd=repo, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.splitlines()
+    start = lines.index("{")  # the result JSON block
+    res = json.loads("\n".join(lines[start:]))
+    t, j = res["torch"], res["jax"]
+    for a, b in zip(t["val_trajectory"], j["val_trajectory"]):
+        rel = abs(a["loss"] - b["loss"]) / abs(a["loss"])
+        assert rel <= 1e-9, f"f64 trajectories not glued: rel {rel}"
+    for k in ("mae", "mape", "rmse"):
+        a, b = t["test"][k], j["test"][k]
+        assert abs(a - b) / abs(a) <= 1e-9
+
+
 def test_gts_train_trajectories_match_reference():
     """GTS train-to-train parity (Gumbel noise zeroed on both sides,
     curriculum off) — round-2 VERDICT item 4."""
