@@ -235,18 +235,21 @@ def build_road_supports(args, model_cfg):
         # node-partitioned mesh path alike.
         impl = getattr(args, "road_impl", "auto")
         if impl == "auto":
-            # TPU-measured policy (tools/backend_bench.json): the
-            # tile-granular Mosaic COO kernel is the fastest sparse impl at
-            # published sizes (167 ms vs ELL 284 at N=1843 — tiles ride the
-            # MXU), but tile count explodes on scatter-sparse graphs at
-            # scale (84k tiles -> OOM at N=32768); node-ELL is near-flat in
-            # N*B and wins from N~16k (430 vs dense 550 at 16384; only
-            # survivor at 32768). Crossover between the two sits ~8192.
-            # Keep impl='auto' on the tile branch so the tile-count
-            # fallback in build_stacked_road_pack still selects the
-            # seconds-to-compile XLA chain for launch-bound small packs
-            # (< AUTO_PALLAS_MIN_TILES, e.g. METR-LA N=207).
-            impl = "ell" if adj.shape[0] >= 8192 else "auto"
+            # TPU-measured policy (tools/backend_bench.json + round-5
+            # unrolled-gather remeasurement): the tile-granular Mosaic COO
+            # kernel is the fastest sparse impl at published sizes (167 ms
+            # vs ELL 284 at N=1843 — tiles ride the MXU), but tile count
+            # explodes on scatter-sparse graphs at scale (84k tiles -> OOM
+            # at N=32768). With the round-5 unrolled small-D gather the
+            # bucketed node-ELL beats dense from N=4096 up (121.5 vs 140.7
+            # ms at 4096 B32, 139.8 vs 251.8 at 8192 B16, 181 vs 551 at
+            # 16384 B8; only survivor at 32768), while dense still wins at
+            # N<=2841 (167.7 vs ELL 206.7). Keep impl='auto' on the tile
+            # branch so the tile-count fallback in build_stacked_road_pack
+            # still selects the seconds-to-compile XLA chain for
+            # launch-bound small packs (< AUTO_PALLAS_MIN_TILES, e.g.
+            # METR-LA N=207).
+            impl = "ell" if adj.shape[0] >= 4096 else "auto"
         if impl == "ell":
             from megacrn_tpu.kernels.spmm_ell_node import \
                 build_stacked_node_ell

@@ -218,12 +218,38 @@ def build_node_pattern_bucketed(adj: np.ndarray,
                                   t_nbr, t_slot, t_mask, t_inv, n)
 
 
+# Small-D unrolled forms (measured 25-40% step-level win on v5e vs the
+# (R, D, F)-gather einsums, kernels/spmm_ell_node.py round-5 note): the
+# einsum materialises the 3-D gather in HBM; per-slot gathers stream one
+# (R, F) slice at a time. Wide rows fall back to the einsum.
+from megacrn_tpu.kernels.spmm_ell_node import _UNROLL_MAX_D
+
+
+def _slot_spmm(w, nbr, x):
+    """y = sum_d w[:, d] * x[nbr[:, d]]; w (R, D), x (N, F) -> (R, F)."""
+    if nbr.shape[1] <= _UNROLL_MAX_D:
+        acc = None
+        for d in range(nbr.shape[1]):
+            t = w[:, d:d + 1] * x[nbr[:, d]]
+            acc = t if acc is None else acc + t
+        return acc
+    return jnp.einsum("rd,rdf->rf", w, x[nbr],
+                      preferred_element_type=x.dtype)
+
+
+def _slot_sddmm(a, nbr, b):
+    """scores[:, d] = a . b[nbr[:, d]]; a (R, K), b (N, K) -> (R, D)."""
+    if nbr.shape[1] <= _UNROLL_MAX_D:
+        return jnp.stack([jnp.sum(a * b[nbr[:, d]], axis=-1)
+                          for d in range(nbr.shape[1])], axis=1)
+    return jnp.einsum("rk,rdk->rd", a, b[nbr],
+                      preferred_element_type=a.dtype)
+
+
 def sddmm_node(e1: jnp.ndarray, e2: jnp.ndarray, nbr: jnp.ndarray,
                mask: jnp.ndarray) -> jnp.ndarray:
     """scores[r, d] = e1[r] . e2[nbr[r, d]] (masked). e1/e2: (N, dim)."""
-    g = e2[nbr]  # (N, D, dim)
-    return jnp.einsum("rk,rdk->rd", e1, g,
-                      preferred_element_type=e1.dtype) * mask
+    return _slot_sddmm(e1, nbr, e2) * mask
 
 
 def node_row_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -240,8 +266,7 @@ def node_row_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 def spmm_node(nbr, mask, t_nbr, t_slot, t_mask, w, x):
     """y[r] = sum_d w[r, d] * x[nbr[r, d]] — differentiable in w AND x,
     scatter-free in both directions. w: (N, D); x: (N, F) -> (N, F)."""
-    g = x[nbr]  # (N, D, F)
-    return jnp.einsum("rd,rdf->rf", w, g, preferred_element_type=x.dtype)
+    return _slot_spmm(w, nbr, x)
 
 
 def _spmm_node_fwd(nbr, mask, t_nbr, t_slot, t_mask, w, x):
@@ -254,11 +279,9 @@ def _spmm_node_bwd(res, dy):
     # dx = A^T @ dy: the transposed pattern's values are the forward
     # weights gathered through the precomputed slot map — pure gathers.
     w_t = w.reshape(-1)[t_slot] * t_mask.astype(w.dtype)
-    dx = jnp.einsum("cd,cdf->cf", w_t, dy[t_nbr],
-                    preferred_element_type=dy.dtype)
+    dx = _slot_spmm(w_t, t_nbr, dy)
     # dw = SDDMM(dy, x) on the pattern slots.
-    dw = jnp.einsum("rf,rdf->rd", dy, x[nbr],
-                    preferred_element_type=dy.dtype) * mask.astype(dy.dtype)
+    dw = _slot_sddmm(dy, nbr, x) * mask.astype(dy.dtype)
     int_zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     zero = lambda a: jnp.zeros_like(a)
     return (int_zero(nbr), zero(mask), int_zero(t_nbr), int_zero(t_slot),
@@ -272,8 +295,7 @@ def sddmm_node_bucketed(e1, e2, pattern: BucketedNodeELLPattern):
     """Per-bucket SDDMM: scores_b[i, d] = e1[rows_b[i]] . e2[nbr_b[i, d]].
     Returns a tuple of per-bucket (n_b, D_b) score arrays."""
     return tuple(
-        jnp.einsum("rk,rdk->rd", e1[rows], e2[nbr],
-                   preferred_element_type=e1.dtype) * mask
+        _slot_sddmm(e1[rows], nbr, e2) * mask
         for nbr, mask, rows in zip(pattern.nbr, pattern.mask, pattern.rows))
 
 
@@ -290,9 +312,7 @@ def spmm_node_bucketed(nbr, mask, rows, inv, t_nbr, t_slot, t_mask, t_inv,
     """y[r] = sum_d w_b[i, d] * x[nbr_b[i, d]] over the bucketed layout;
     differentiable in w (tuple of per-bucket arrays) and x, scatter-free
     both ways. Returns (N, F) in ORIGINAL row order."""
-    parts = [jnp.einsum("rd,rdf->rf", w_b, x[nbr_b],
-                        preferred_element_type=x.dtype)
-             for w_b, nbr_b in zip(w, nbr)]
+    parts = [_slot_spmm(w_b, nbr_b, x) for w_b, nbr_b in zip(w, nbr)]
     return jnp.concatenate(parts, axis=0)[inv]
 
 
@@ -308,15 +328,11 @@ def _spmm_bucketed_bwd(res, dy):
     # dx = A^T @ dy: transposed-pattern weights gathered from the forward
     # concat layout through the precomputed flat slot map.
     w_flat = jnp.concatenate([w_b.reshape(-1) for w_b in w])
-    dx_parts = [jnp.einsum("cd,cdf->cf",
-                           w_flat[ts] * tm.astype(w_flat.dtype), dy[tn],
-                           preferred_element_type=dy.dtype)
+    dx_parts = [_slot_spmm(w_flat[ts] * tm.astype(w_flat.dtype), tn, dy)
                 for tn, ts, tm in zip(t_nbr, t_slot, t_mask)]
     dx = jnp.concatenate(dx_parts, axis=0)[t_inv]
     # dw_b = SDDMM(dy[rows_b], x[nbr_b]) on the pattern slots.
-    dw = tuple(jnp.einsum("rf,rdf->rd", dy[rows_b], x[nbr_b],
-                          preferred_element_type=dy.dtype)
-               * mask_b.astype(dy.dtype)
+    dw = tuple(_slot_sddmm(dy[rows_b], nbr_b, x) * mask_b.astype(dy.dtype)
                for rows_b, nbr_b, mask_b in zip(rows, nbr, mask))
     int_zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     zero = lambda a: jnp.zeros_like(a)
