@@ -322,3 +322,69 @@ def test_node_ell_bucketed_handles_isolated_and_hub_rows():
     want = cheb_aggregate(dense, x, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_bucket_splits_dp_is_optimal():
+    """The DP cut-point search must find the true minimum padded-slot total
+    over all bucketings (brute force over cut combinations on small random
+    degree profiles)."""
+    import itertools
+
+    from megacrn_tpu.kernels.spmm_ell_node import _bucket_splits
+
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        deg = np.sort(rng.randint(0, 12, size=rng.randint(3, 16)))
+        max_buckets = rng.randint(1, 5)
+        best, cuts = _bucket_splits(deg, max_buckets)
+        # The returned cuts must cost what the DP claims and cover all rows.
+        starts = [0] + cuts[:-1]
+        cost = sum((e - s) * int(deg[e - 1])
+                   for s, e in zip(starts, cuts))
+        assert best == cost
+        assert cuts[-1] == len(deg)
+        # Brute force: all ways to split [0, len) into <= max_buckets
+        # contiguous groups cut at distinct-degree boundaries.
+        ends = sorted(set(np.searchsorted(deg, np.unique(deg), "right")))
+        brute = min(
+            (sum((e - s) * int(deg[e - 1])
+                 for s, e in zip([0] + list(c[:-1]), c))
+             for k in range(1, max_buckets + 1)
+             for c in itertools.combinations(ends, k)
+             if c and c[-1] == len(deg)),
+            default=None)
+        assert brute is not None and best == brute, (deg, max_buckets)
+        del cost
+
+
+def test_sharded_bucketed_builder_invariants():
+    """Every stored edge appears exactly once with its original weight, and
+    each device's inv is a permutation of its local rows."""
+    from megacrn_tpu.kernels.spmm_ell_node import (BucketedShardedNodeELL,
+                                                   shard_node_ell)
+
+    n, shards = 48, 4
+    s1, s2 = dual_random_walk_supports(_skewed_adjacency(n, seed=21))
+    packs = shard_node_ell([s1, s2], shards, max_buckets=4, min_saving=0.0)
+    assert isinstance(packs, BucketedShardedNodeELL)
+    n_loc = n // shards
+    for si, sup in enumerate([s1, s2]):
+        inv = np.asarray(packs.inv[si])
+        for dev in range(shards):
+            assert sorted(inv[dev]) == list(range(n_loc))
+            orig_of = np.argsort(inv[dev])  # sorted rank -> original row
+            # Reconstruct this device's row block from its buckets
+            # (bucket widths differ — walk them in concat order).
+            recon = np.zeros((n_loc, n), np.float32)
+            r_sorted = 0
+            for nbr_b, w_b in zip(packs.nbr[si], packs.w[si]):
+                for i in range(nbr_b.shape[1]):  # n_b rows per device
+                    row = orig_of[r_sorted]
+                    for c, w in zip(np.asarray(nbr_b[dev][i]),
+                                    np.asarray(w_b[dev][i])):
+                        if w != 0:
+                            recon[row, c] += w
+                    r_sorted += 1
+            assert r_sorted == n_loc
+            blk = sup[dev * n_loc:(dev + 1) * n_loc]
+            np.testing.assert_allclose(recon, blk, atol=1e-6)
