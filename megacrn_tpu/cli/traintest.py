@@ -53,14 +53,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "running on SYNTH (which generates one)")
     p.add_argument("--road_impl", type=str, default="auto",
                    choices=["auto", "xla", "pallas", "ell"],
-                   help="road_sparse SpMM execution strategy: 'pallas' "
-                        "(streaming Mosaic tile kernel, fastest sparse at "
-                        "published sizes), 'xla' (gather-einsum-scatter "
-                        "tile chain), 'ell' (node-level gather ELL — "
-                        "near-flat in N*B, beats dense from N~16k and the "
-                        "only impl that fits N=32768); 'auto' picks "
-                        "ell at N>=8192 else pallas (measured policy, "
-                        "tools/backend_bench.json)")
+                   help="road_sparse SpMM execution strategy: 'ell' "
+                        "(bucketed node-level gather ELL with unrolled "
+                        "small-D reduction — the fastest sparse impl at "
+                        "every measured size, beats dense from N~4096, "
+                        "only impl that fits N=32768), 'pallas' "
+                        "(streaming Mosaic tile kernel; ~90 s remote "
+                        "compile), 'xla' (gather-einsum-scatter tile "
+                        "chain); 'auto' = ell (measured policy, STATUS.md "
+                        "perf tables)")
     p.add_argument("--sparse_meta_impl", type=str, default="node",
                    choices=["node", "block"],
                    help="sparse_meta granularity: 'node' (row-padded ELL "
@@ -235,21 +236,16 @@ def build_road_supports(args, model_cfg):
         # node-partitioned mesh path alike.
         impl = getattr(args, "road_impl", "auto")
         if impl == "auto":
-            # TPU-measured policy (tools/backend_bench.json + round-5
-            # unrolled-gather remeasurement): the tile-granular Mosaic COO
-            # kernel is the fastest sparse impl at published sizes (167 ms
-            # vs ELL 284 at N=1843 — tiles ride the MXU), but tile count
-            # explodes on scatter-sparse graphs at scale (84k tiles -> OOM
-            # at N=32768). With the round-5 unrolled small-D gather the
-            # bucketed node-ELL beats dense from N=4096 up (121.5 vs 140.7
-            # ms at 4096 B32, 139.8 vs 251.8 at 8192 B16, 181 vs 551 at
-            # 16384 B8; only survivor at 32768), while dense still wins at
-            # N<=2841 (167.7 vs ELL 206.7). Keep impl='auto' on the tile
-            # branch so the tile-count fallback in build_stacked_road_pack
-            # still selects the seconds-to-compile XLA chain for
-            # launch-bound small packs (< AUTO_PALLAS_MIN_TILES, e.g.
-            # METR-LA N=207).
-            impl = "ell" if adj.shape[0] >= 4096 else "auto"
+            # TPU-measured policy (round-5 unrolled-gather remeasurement,
+            # STATUS.md perf tables): with the unrolled small-D gather the
+            # bucketed node-ELL is the fastest sparse impl at EVERY size —
+            # N=1843 B64 122.0 ms vs Mosaic tiles 167.3 (a 89 s Mosaic
+            # compile vs seconds of XLA), N=2841 206.7 vs 345.9, beats
+            # dense from N=4096 up (121.5 vs 140.7 at 4096 B32, 1.80x at
+            # 8192, 3.0x at 16384) and is the only backend that fits
+            # N=32768. The tile kernels stay reachable explicitly
+            # (--road_impl xla/pallas) as the measured A/B.
+            impl = "ell"
         if impl == "ell":
             from megacrn_tpu.kernels.spmm_ell_node import \
                 build_stacked_node_ell
