@@ -253,6 +253,12 @@ def main():
          "dense N=16384 B=8 6->6 units32", False),
         (lambda: bench_config("ell", 16384, 8, 20),
          "ell N=16384 B=8 6->6 units32", False),
+        # The round-5 dense-vs-ELL crossover pair (unrolled small-D gather
+        # moved it below N=4096 — STATUS.md perf tables).
+        (lambda: bench_config("dense", 4096, 32, 20),
+         "dense N=4096 B=32 6->6 units32", False),
+        (lambda: bench_config("ell", 4096, 32, 20),
+         "ell N=4096 B=32 6->6 units32", False),
         (lambda: bench_config("ell", 32768, 4, 20),
          "ell N=32768 B=4 6->6 units32", False),
         # The published-protocol shapes of the OTHER datasets/families

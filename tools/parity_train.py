@@ -203,9 +203,13 @@ def run_parity(epochs=3, nodes=16, steps=900, seq=12, units=16, mem_num=4,
     # historical 0-floor data for trajectory continuity across rounds).
     if min_speed is None:
         min_speed = 20.0 if protocol == "expytky" else 0.0
+    # Pinned shuffle_rng: deterministic batch order run-to-run (the loader
+    # otherwise draws a fresh OS-entropy generator for its one-shot
+    # shuffle); both frameworks consume the identical loaders either way.
     data = build_synthetic(num_nodes=nodes, num_steps=steps, seq_len=seq,
                            horizon=seq, batch_size=batch_size, seed=3,
-                           min_speed=min_speed, missing_rate=missing_rate)
+                           min_speed=min_speed, missing_rate=missing_rate,
+                           shuffle_rng=np.random.default_rng(11))
 
     if float64:
         # The reference model materialises hidden-state zeros at torch's
