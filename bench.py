@@ -142,7 +142,8 @@ def bench_config(backend, n, batch, steps, seq=6, horizon=6, units=32,
     }
 
 
-def bench_gts(steps=20, train_series_len=23990, batch=64):
+def bench_gts(steps=20, train_series_len=23990, batch=64,
+              compute_dtype="float32"):
     """GTS train step at the published METR-LA config (model/traintest_GTS.py
     defaults: N=207, 12->12, units 64, diffusion 3, B=64) INCLUDING the
     full-training-series Conv1d feature extractor (model/GTS.py:423-434,
@@ -157,7 +158,8 @@ def bench_gts(steps=20, train_series_len=23990, batch=64):
     from megacrn_tpu.models import gts
     from megacrn_tpu.train.gts_loop import make_gts_train_step
 
-    cfg = GTSConfig(train_series_len=train_series_len)
+    cfg = GTSConfig(train_series_len=train_series_len,
+                    compute_dtype=compute_dtype)
     tcfg = TrainConfig(batch_size=batch)
     params, bn_state = gts.init_params(jax.random.PRNGKey(0), cfg)
     feas = np.asarray(jax.random.normal(
@@ -269,6 +271,8 @@ def main():
          "dense N=325 B=64 12->12 units64 [PEMSBAY]", False),
         (lambda: bench_gts(20),
          "GTS N=207 B=64 12->12 units64 diff3 Tfeat=23990 [METRLA]", False),
+        (lambda: bench_gts(20, compute_dtype="bfloat16"),
+         "GTS bf16 N=207 B=64 12->12 units64 diff3 Tfeat=23990", False),
         (lambda: bench_megacrnx(20),
          "MegaCRNx N=207 B=64 12->12 units32 mem10/32 [protocol]", False),
         # Headline LAST (the cross-round comparable series).

@@ -96,6 +96,10 @@ class GTSConfig:
     use_curriculum_learning: bool = True
     train_series_len: int = 23990
     knn_k: int = 10
+    # Matmul/conv-input dtype: "float32" (parity default) | "bfloat16"
+    # (MXU speed mode: extractor convs + fc + DCGRU gconvs narrow to bf16;
+    # BatchNorm stats, edge logits/softmax/Gumbel sampling stay f32).
+    compute_dtype: str = "float32"
 
     @property
     def dim_fc(self) -> int:

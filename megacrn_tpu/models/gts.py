@@ -90,19 +90,29 @@ def _conv1d(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def node_embeddings(params: Dict, bn_state: Dict, node_feas: jnp.ndarray,
-                    training: bool) -> Tuple[jnp.ndarray, Dict]:
+                    training: bool, compute_dtype=jnp.float32
+                    ) -> Tuple[jnp.ndarray, Dict]:
     """Conv1d feature extractor over the whole training series
-    (GTS.py:423-434). node_feas: (T_train, N) -> (N, embedding_dim)."""
-    x = node_feas.T[:, None, :]  # (N, 1, T)
-    x = _conv1d(params["conv1"], x)
+    (GTS.py:423-434). node_feas: (T_train, N) -> (N, embedding_dim).
+
+    ``compute_dtype=bfloat16`` narrows the conv/fc MXU inputs (the
+    extractor is the measured 56% of the GTS step at T=23990); BatchNorm
+    runs in f32 so the running statistics keep full precision."""
+    cd = jnp.dtype(compute_dtype)
+    cast_p = lambda p: {k: v.astype(cd) for k, v in p.items()}
+    x = node_feas.T[:, None, :].astype(cd)  # (N, 1, T)
+    x = _conv1d(cast_p(params["conv1"]), x)
     x = jax.nn.relu(x)
-    x, bn1 = bn_apply(params["bn1"], bn_state["bn1"], x, training)
-    x = _conv1d(params["conv2"], x)
+    x, bn1 = bn_apply(params["bn1"], bn_state["bn1"],
+                      x.astype(jnp.float32), training)
+    x = _conv1d(cast_p(params["conv2"]), x.astype(cd))
     x = jax.nn.relu(x)
-    x, bn2 = bn_apply(params["bn2"], bn_state["bn2"], x, training)
+    x, bn2 = bn_apply(params["bn2"], bn_state["bn2"],
+                      x.astype(jnp.float32), training)
     x = x.reshape(x.shape[0], -1)  # (N, 16*(T-18))
-    x = x @ params["fc"]["W"] + params["fc"]["b"]
-    x = jax.nn.relu(x)
+    x = (x.astype(cd) @ params["fc"]["W"].astype(cd)
+         + params["fc"]["b"].astype(cd))
+    x = jax.nn.relu(x.astype(jnp.float32))
     x, bn3 = bn_apply(params["bn3"], bn_state["bn3"], x, training)
     return x, {"bn1": bn1, "bn2": bn2, "bn3": bn3}
 
@@ -153,8 +163,10 @@ def forward(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     k_gumbel, k_cl = jax.random.split(rng)
+    cd = jnp.dtype(getattr(cfg, "compute_dtype", "float32"))
 
-    emb, new_bn_state = node_embeddings(params, bn_state, node_feas, training)
+    emb, new_bn_state = node_embeddings(params, bn_state, node_feas,
+                                        training, compute_dtype=cd)
     logits = pairwise_logits(params, emb)
     sample = gumbel_softmax_hard(
         logits, cfg.temperature, k_gumbel if gumbel_noise else None)
@@ -164,6 +176,17 @@ def forward(
         cfg.num_nodes, cfg.num_nodes)
 
     # --- encoder (GTS.py:375-385) ---
+    # bf16 mode: recurrence matmul inputs narrow; the sampled adj (and the
+    # straight-through gradient path through it) stays f32 — the support's
+    # degree normalisation and the gate nonlinearities see bf16 operands
+    # only inside the cells.
+    enc_params, dec_params, proj_p = (params["encoder"], params["decoder"],
+                                      params["proj"])
+    if cd != jnp.float32:
+        cast = lambda t: jax.tree_util.tree_map(lambda a: a.astype(cd), t)
+        enc_params, dec_params, proj_p = (cast(enc_params),
+                                          cast(dec_params), cast(proj_p))
+        x = x.astype(cd)
     states = tuple(jnp.zeros((batch, cfg.num_nodes, cfg.rnn_units), x.dtype)
                    for _ in range(cfg.num_layers))
     x_tm = jnp.swapaxes(x, 0, 1)
@@ -177,7 +200,7 @@ def forward(
         return inp, tuple(new_states)
 
     def enc_step(states, x_t):
-        _, new_states = stack(params["encoder"], states, x_t)
+        _, new_states = stack(enc_params, states, x_t)
         return new_states, None
 
     states, _ = jax.lax.scan(enc_step, states, x_tm)
@@ -191,7 +214,7 @@ def forward(
         threshold = c / (c + jnp.exp(jnp.asarray(batches_seen, jnp.float32) / c))
         coins = jax.random.uniform(k_cl, (cfg.horizon,))
         use_truth = coins < threshold
-        labels_tm = jnp.swapaxes(labels, 0, 1)
+        labels_tm = jnp.swapaxes(labels.astype(x.dtype), 0, 1)
     else:
         use_truth = jnp.zeros((cfg.horizon,), bool)
         labels_tm = jnp.zeros(
@@ -202,12 +225,12 @@ def forward(
     def dec_step(carry, inp):
         go, states = carry
         label_t, use_truth_t = inp
-        h_top, states = stack(params["decoder"], states, go)
-        out_t = h_top @ params["proj"]["W"] + params["proj"]["b"]
+        h_top, states = stack(dec_params, states, go)
+        out_t = h_top @ proj_p["W"] + proj_p["b"]
         go_next = jnp.where(use_truth_t, label_t, out_t)
         return (go_next, states), out_t
 
     (_, _), outs = jax.lax.scan(dec_step, (go0, states),
                                 (labels_tm, use_truth))
-    output = jnp.swapaxes(outs, 0, 1)
+    output = jnp.swapaxes(outs, 0, 1).astype(jnp.float32)
     return GTSOutput(output, adj_prob, adj, new_bn_state)

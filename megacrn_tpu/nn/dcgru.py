@@ -82,7 +82,10 @@ def dcgru_cell_apply(params: Dict, x: jnp.ndarray, h: jnp.ndarray,
                      adj: jnp.ndarray, max_diffusion_step: int,
                      activation=jnp.tanh) -> jnp.ndarray:
     """One DCGRU step (GTS.py:128-153). x: (B, N, dim_in); h: (B, N, units)."""
-    support = random_walk_support(adj)
+    # Degree normalisation in the adj's own (f32) precision; the support
+    # then narrows to the compute dtype so bf16-mode diffusion matmuls
+    # don't silently promote back to f32.
+    support = random_walk_support(adj).astype(x.dtype)
     ru = jax.nn.sigmoid(_gconv(params["gate"], support, x, h,
                                max_diffusion_step))
     r, u = jnp.split(ru, 2, axis=-1)

@@ -120,3 +120,50 @@ def test_gts_init_and_train_forward_runs():
     # BN running stats updated in training mode.
     assert not np.allclose(np.asarray(out.bn_state["bn1"]["mean"]),
                            np.asarray(bn_state["bn1"]["mean"]))
+
+
+def test_gts_bfloat16_mode_tracks_f32_and_trains():
+    """compute_dtype="bfloat16" (the MXU speed mode) must produce outputs
+    close to the f32 forward on identical weights (bf16 matmul-input
+    noise only) and train to a finite decreasing loss."""
+    import optax
+
+    from megacrn_tpu.config import GTSConfig, TrainConfig
+    from megacrn_tpu.models import gts
+    from megacrn_tpu.data.graph_prior import cosine_knn_graph
+    from megacrn_tpu.train.gts_loop import make_gts_train_step
+
+    kw = dict(num_nodes=10, input_dim=1, output_dim=1, horizon=3, seq_len=4,
+              rnn_units=8, max_diffusion_step=2, train_series_len=60,
+              knn_k=3, embedding_dim=16, use_curriculum_learning=False)
+    cfg32 = GTSConfig(**kw)
+    cfg16 = GTSConfig(**kw, compute_dtype="bfloat16")
+    params, bn = gts.init_params(jax.random.PRNGKey(0), cfg32)
+    rng = np.random.RandomState(0)
+    feas = jnp.asarray(rng.randn(60, 10).astype(np.float32))
+    x = jnp.asarray(rng.randn(4, 4, 10, 1).astype(np.float32))
+    out32 = gts.forward(params, bn, x, feas, cfg32, training=False,
+                        gumbel_noise=False)
+    out16 = gts.forward(params, bn, x, feas, cfg16, training=False,
+                        gumbel_noise=False)
+    assert out16.output.dtype == jnp.float32
+    # Same sampled graph (logits/softmax stay f32 in both modes)...
+    np.testing.assert_array_equal(np.asarray(out16.adj_sample),
+                                  np.asarray(out32.adj_sample))
+    # ...and outputs within bf16 matmul-input noise.
+    np.testing.assert_allclose(np.asarray(out16.output),
+                               np.asarray(out32.output), atol=0.05, rtol=0.1)
+
+    tcfg = TrainConfig(batch_size=4, lr=5e-3)
+    opt = optax.adam(tcfg.lr, eps=1e-3)
+    feas_np = np.asarray(feas)
+    step = make_gts_train_step(cfg16, tcfg, opt, 0.0, 1.0, feas_np,
+                               cosine_knn_graph(feas_np, 3))
+    y = jnp.asarray(rng.randn(4, 3, 10, 1).astype(np.float32))
+    p, b, st = params, bn, opt.init(params)
+    losses = []
+    for i in range(5):
+        p, b, st, loss = step(p, b, st, x, y, jnp.float32(i),
+                              jax.random.PRNGKey(1))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
