@@ -312,6 +312,19 @@ def fit(
         edges_per_step = tele.edge_traversals_per_step(
             model_cfg.num_nodes, model_cfg.cheb_k, model_cfg.seq_len,
             model_cfg.horizon, train_cfg.batch_size, model_cfg.num_supports)
+    elif road_supports is not None:
+        # Sparse backends: each backend's OWN stored edge count when the
+        # pack exposes it (the stacked node-ELL families); other pack
+        # layouts report steps/s only.
+        try:
+            from megacrn_tpu.kernels.spmm_ell_node import pack_nnz
+
+            edges_per_step = tele.edge_traversals_per_step(
+                model_cfg.num_nodes, model_cfg.cheb_k, model_cfg.seq_len,
+                model_cfg.horizon, train_cfg.batch_size,
+                model_cfg.num_supports, nnz=pack_nnz(road_supports))
+        except (TypeError, AttributeError):
+            pass
     mem_logged = not log_compiled_memory
     profile_pending = profile_dir is not None
     profile_active = False
