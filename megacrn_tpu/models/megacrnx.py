@@ -45,6 +45,9 @@ class MegaCRNxConfig:
     ycov_dim: int = 1
     mem_num: int = 10
     mem_dim: int = 32
+    # Matmul-input dtype: "float32" (parity default) | "bfloat16" (MXU
+    # speed mode; the meta-graph softmax and memory read stay f32).
+    compute_dtype: str = "float32"
     memory_type: bool = True
     meta_type: bool = True
     decoder_type: str = "stepwise"  # "sequence" | "stepwise"
@@ -151,20 +154,33 @@ def query_memory(mem: Dict, h_t: jnp.ndarray):
 
 def forward(params: Dict, x: jnp.ndarray, y_cov: jnp.ndarray,
             cfg: MegaCRNxConfig) -> MegaCRNxOutput:
-    """MegaCRNx.py:180-214. Deterministic (no curriculum/PRNG)."""
+    """MegaCRNx.py:180-214. Deterministic (no curriculum/PRNG).
+
+    ``compute_dtype="bfloat16"`` narrows the recurrence/projection matmul
+    inputs; support softmaxes and the memory read keep f32 (the same
+    policy as the MegaCRN flagship's bf16 mode)."""
     batch = x.shape[0]
+    cd = jnp.dtype(getattr(cfg, "compute_dtype", "float32"))
+    acc = jnp.promote_types(jnp.float32, cd)
     enc_support = support_from_embeddings(params["node_embeddings"])
+    enc_params, dec_params = params["encoder"], params["decoder"]
+    if cd != jnp.float32:
+        cast = lambda t: jax.tree_util.tree_map(lambda a: a.astype(cd), t)
+        enc_params, dec_params = cast(enc_params), cast(dec_params)
+        x = x.astype(cd)
+        y_cov = y_cov.astype(cd)
+        enc_support = enc_support.astype(cd)
 
     states = tuple(jnp.zeros((batch, cfg.num_nodes, cfg.rnn_units), x.dtype)
                    for _ in range(cfg.num_layers))
 
     def enc_step(states, x_t):
-        _, states = _stack(params["encoder"], states, x_t, enc_support,
+        _, states = _stack(enc_params, states, x_t, enc_support,
                            cfg.cheb_k)
         return states, None
 
     states, _ = jax.lax.scan(enc_step, states, jnp.swapaxes(x, 0, 1))
-    h_t = states[-1]
+    h_t = states[-1].astype(acc)
 
     h_att = query = pos = neg = None
     if cfg.memory_type:
@@ -177,25 +193,26 @@ def forward(params: Dict, x: jnp.ndarray, y_cov: jnp.ndarray,
                 "meta graph must derive from memory (MegaCRNx.py:194)")
         dec_emb = params["node_embeddings"]
 
-    dec_support = support_from_embeddings(dec_emb)
-    dec_states = tuple(h_t for _ in range(cfg.num_layers))
-    proj_w, proj_b = params["proj"]["W"], params["proj"]["b"]
+    dec_support = support_from_embeddings(dec_emb.astype(acc)).astype(cd)
+    dec_states = tuple(h_t.astype(cd) for _ in range(cfg.num_layers))
+    proj_w = params["proj"]["W"].astype(cd)
+    proj_b = params["proj"]["b"].astype(cd)
 
     if cfg.decoder_type == "sequence":
         def seq_step(states, yc_t):
-            top, states = _stack(params["decoder"], states, yc_t,
+            top, states = _stack(dec_params, states, yc_t,
                                  dec_support, cfg.cheb_k)
             return states, top
 
         _, h_de = jax.lax.scan(seq_step, dec_states,
                                jnp.swapaxes(y_cov, 0, 1))
-        output = jnp.swapaxes(h_de @ proj_w + proj_b, 0, 1)
+        output = jnp.swapaxes(h_de @ proj_w + proj_b, 0, 1).astype(acc)
     elif cfg.decoder_type == "stepwise":
         go0 = jnp.zeros((batch, cfg.num_nodes, cfg.output_dim), x.dtype)
 
         def dec_step(carry, yc_t):
             go, states = carry
-            top, states = _stack(params["decoder"], states,
+            top, states = _stack(dec_params, states,
                                  jnp.concatenate([go, yc_t], -1),
                                  dec_support, cfg.cheb_k)
             out_t = top @ proj_w + proj_b
@@ -203,7 +220,7 @@ def forward(params: Dict, x: jnp.ndarray, y_cov: jnp.ndarray,
 
         (_, _), outs = jax.lax.scan(dec_step, (go0, dec_states),
                                     jnp.swapaxes(y_cov, 0, 1))
-        output = jnp.swapaxes(outs, 0, 1)
+        output = jnp.swapaxes(outs, 0, 1).astype(acc)
     else:
         raise ValueError(f"unknown decoder_type {cfg.decoder_type!r}")
 

@@ -66,3 +66,26 @@ def test_meta_without_memory_rejected():
     yc = np.zeros((1, 2, 5, 1), np.float32)
     with pytest.raises(ValueError):
         megacrnx.forward(params, x, yc, cfg)
+
+
+def test_megacrnx_bfloat16_mode_tracks_f32():
+    """compute_dtype="bfloat16" must track the f32 forward on identical
+    weights (bf16 matmul-input noise only); the f32 default is unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from megacrn_tpu.models import megacrnx
+
+    kw = dict(num_nodes=12, input_dim=1, output_dim=1, horizon=3, seq_len=4,
+              rnn_units=8, mem_num=4, mem_dim=8)
+    cfg32 = megacrnx.MegaCRNxConfig(**kw)
+    cfg16 = megacrnx.MegaCRNxConfig(**kw, compute_dtype="bfloat16")
+    params = megacrnx.init_params(jax.random.PRNGKey(0), cfg32)
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    x = jax.random.normal(ks[0], (4, 4, 12, 1))
+    ycov = jax.random.normal(ks[1], (4, 3, 12, 1))
+    out32 = megacrnx.forward(params, x, ycov, cfg32)
+    out16 = megacrnx.forward(params, x, ycov, cfg16)
+    assert out16.output.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out16.output),
+                               np.asarray(out32.output), atol=0.05, rtol=0.1)
