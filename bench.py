@@ -33,6 +33,7 @@ line; 0.0 on shapes with no measured torch counterpart.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 
@@ -138,7 +139,7 @@ def bench_config(backend, n, batch, steps, seq=6, horizon=6, units=32,
     return {
         "sec_per_step": sec_per_step,
         "gedges": edges_per_sec / 1e9,
-        "loss_finite": bool(loss_val == loss_val),
+        "loss_finite": math.isfinite(loss_val),
     }
 
 
@@ -186,7 +187,7 @@ def bench_gts(steps=20, train_series_len=23990, batch=64,
     edges = (n * n) * cfg.max_diffusion_step * 2 * (
         cfg.seq_len + cfg.horizon) * batch
     return {"sec_per_step": sec_per_step, "gedges": edges / sec_per_step / 1e9,
-            "loss_finite": bool(loss_val == loss_val)}
+            "loss_finite": math.isfinite(loss_val)}
 
 
 def bench_megacrnx(steps=20, batch=64):
@@ -225,7 +226,7 @@ def bench_megacrnx(steps=20, batch=64):
     n = cfg.num_nodes
     edges = (n * n) * (cfg.cheb_k - 1) * 2 * (cfg.seq_len + cfg.horizon) * batch
     return {"sec_per_step": sec_per_step, "gedges": edges / sec_per_step / 1e9,
-            "loss_finite": bool(loss_val == loss_val)}
+            "loss_finite": math.isfinite(loss_val)}
 
 
 def main():

@@ -90,7 +90,8 @@ def build_node_pattern(adj: np.ndarray, max_buckets: int = 4,
             best_slots += s
         if best_slots <= (1.0 - min_saving) * flat_slots:
             return build_node_pattern_bucketed(adj, max_buckets)
-    a = np.asarray(adj) != 0
+    else:
+        a = np.asarray(adj) != 0
     n = a.shape[0]
     rows, cols = np.nonzero(a)
     order = np.lexsort((cols, rows))
@@ -226,15 +227,13 @@ from megacrn_tpu.kernels.spmm_ell_node import _UNROLL_MAX_D
 
 
 def _slot_spmm(w, nbr, x):
-    """y = sum_d w[:, d] * x[nbr[:, d]]; w (R, D), x (N, F) -> (R, F)."""
-    if nbr.shape[1] <= _UNROLL_MAX_D:
-        acc = None
-        for d in range(nbr.shape[1]):
-            t = w[:, d:d + 1] * x[nbr[:, d]]
-            acc = t if acc is None else acc + t
-        return acc
-    return jnp.einsum("rd,rdf->rf", w, x[nbr],
-                      preferred_element_type=x.dtype)
+    """y = sum_d w[:, d] * x[nbr[:, d]]; w (R, D), x (N, F) -> (R, F).
+    Delegates to the canonical unrolled form (one implementation of the
+    unroll policy; the w -> x.dtype cast there is a no-op on this path,
+    whose callers pre-cast the learned weights)."""
+    from megacrn_tpu.kernels.spmm_ell_node import _ell_apply
+
+    return _ell_apply(nbr, w, x)
 
 
 def _slot_sddmm(a, nbr, b):

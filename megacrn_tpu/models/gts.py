@@ -142,22 +142,47 @@ def gumbel_softmax_hard(logits: jnp.ndarray, temperature: float,
     return jax.lax.stop_gradient(y_hard - y_soft) + y_soft
 
 
+def sample_graph(params: Dict, bn_state: Dict, node_feas: jnp.ndarray,
+                 cfg: GTSConfig, rng: Optional[jax.Array] = None,
+                 training: bool = False) -> Tuple:
+    """The graph-learner half of the forward (GTS.py:423-444): extractor ->
+    pairwise scorer -> straight-through Gumbel sample. ``rng=None`` is the
+    deterministic argmax path (eval/serving). Returns
+    (adj, adj_prob, new_bn_state) — adj depends only on
+    (params, bn_state, node_feas, rng), NOT on the batch, so serving can
+    compute it once and reuse it across requests."""
+    cd = jnp.dtype(getattr(cfg, "compute_dtype", "float32"))
+    emb, new_bn_state = node_embeddings(params, bn_state, node_feas,
+                                        training, compute_dtype=cd)
+    logits = pairwise_logits(params, emb)
+    sample = gumbel_softmax_hard(logits, cfg.temperature, rng)
+    adj = sample[:, 0].reshape(cfg.num_nodes, cfg.num_nodes)
+    adj = adj * (1.0 - jnp.eye(cfg.num_nodes, dtype=adj.dtype))  # zero diag
+    adj_prob = jax.nn.softmax(logits, axis=-1)[:, 0].reshape(
+        cfg.num_nodes, cfg.num_nodes)
+    return adj, adj_prob, new_bn_state
+
+
 def forward(
     params: Dict,
     bn_state: Dict,
     x: jnp.ndarray,
-    node_feas: jnp.ndarray,
+    node_feas: Optional[jnp.ndarray],
     cfg: GTSConfig,
     labels: Optional[jnp.ndarray] = None,
     batches_seen=0,
     rng: Optional[jax.Array] = None,
     training: bool = False,
     gumbel_noise: bool = True,
+    graph: Optional[Tuple] = None,
 ) -> GTSOutput:
     """Full GTS forward (GTS.py:412-454).
 
     x: (B, T, N, input_dim); node_feas: (T_train, N) normalized training
-    series; labels: (B, horizon, N, output_dim).
+    series; labels: (B, horizon, N, output_dim). ``graph``: optional
+    precomputed (adj, adj_prob) pair from ``sample_graph`` — skips the
+    extractor/sampler entirely (serving reuses one sampled graph across
+    requests; node_feas may then be None).
     """
     batch = x.shape[0]
     if rng is None:
@@ -165,15 +190,13 @@ def forward(
     k_gumbel, k_cl = jax.random.split(rng)
     cd = jnp.dtype(getattr(cfg, "compute_dtype", "float32"))
 
-    emb, new_bn_state = node_embeddings(params, bn_state, node_feas,
-                                        training, compute_dtype=cd)
-    logits = pairwise_logits(params, emb)
-    sample = gumbel_softmax_hard(
-        logits, cfg.temperature, k_gumbel if gumbel_noise else None)
-    adj = sample[:, 0].reshape(cfg.num_nodes, cfg.num_nodes)
-    adj = adj * (1.0 - jnp.eye(cfg.num_nodes, dtype=adj.dtype))  # zero diag
-    adj_prob = jax.nn.softmax(logits, axis=-1)[:, 0].reshape(
-        cfg.num_nodes, cfg.num_nodes)
+    if graph is not None:
+        adj, adj_prob = graph
+        new_bn_state = bn_state
+    else:
+        adj, adj_prob, new_bn_state = sample_graph(
+            params, bn_state, node_feas, cfg,
+            rng=k_gumbel if gumbel_noise else None, training=training)
 
     # --- encoder (GTS.py:375-385) ---
     # bf16 mode: recurrence matmul inputs narrow; the sampled adj (and the

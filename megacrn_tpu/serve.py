@@ -136,17 +136,27 @@ class GTSPredictor:
         self.cfg = cfg
         self.mean, self.std = float(scaler_mean), float(scaler_std)
         self.max_batch = max_batch
-        feas = jnp.asarray(node_feas)
+        # The sampled graph depends only on (params, bn_state, node_feas)
+        # at inference (deterministic argmax, no Gumbel noise), never on
+        # the request — compute it ONCE here instead of re-running the
+        # full-training-series extractor (the measured ~56% of the GTS
+        # step) per predict() chunk.
+        adj, adj_prob, _ = jax.jit(
+            lambda p, b, f: gts.sample_graph(p, b, f, cfg, rng=None,
+                                             training=False))(
+            params, bn_state, jnp.asarray(node_feas))
+        self.adj = adj
 
         @jax.jit
-        def fwd(params, bn_state, x, mean, std):
+        def fwd(params, bn_state, x, adj, adj_prob, mean, std):
             x = x.at[..., 0].set((x[..., 0] - mean) / std)
             out = gts.forward(params, bn_state, x[..., : cfg.input_dim],
-                              feas, cfg, training=False, gumbel_noise=False)
+                              None, cfg, training=False, gumbel_noise=False,
+                              graph=(adj, adj_prob))
             return inverse_transform(out.output, std, mean)
 
-        self._fwd = lambda x: fwd(self.params, self.bn_state, x, self.mean,
-                                  self.std)
+        self._fwd = lambda x: fwd(self.params, self.bn_state, x, adj,
+                                  adj_prob, self.mean, self.std)
 
     @classmethod
     def from_checkpoint(cls, path: str, cfg, node_feas,

@@ -60,6 +60,15 @@ def _log_compiled_memory(run, train_step, params, opt_state, x0, y0, y_cov,
         jitted, extra = train_step, ()
     if jitted is None:
         return
+    # The AOT lower+compile does NOT share the jit's in-process executable
+    # cache — only the persistent compilation cache dedups it. On CPU the
+    # duplicate compile is cheap; on an accelerator without a persistent
+    # cache configured (library callers outside the CLI/bench), skip
+    # rather than silently doubling a 10-30 s (or minutes-long remote)
+    # compile for byte-size telemetry.
+    if (jax.default_backend() != "cpu"
+            and not getattr(jax.config, "jax_compilation_cache_dir", None)):
+        return
     try:
         compiled = jitted.lower(params, opt_state, x0, y0, y_cov,
                                 jnp.float32(batches_seen), rng,
@@ -200,45 +209,35 @@ def fit(
                                      mean, std, road_supports=road_supports,
                                      donate=True)
         place_batch = lambda arrays: arrays
-    if mesh is not None and model_cfg.graph_backend in ("road_sparse",
-                                                        "dense_ring"):
-        # Mesh eval: forward through shard_map (Pallas kernel runs
-        # per-device on its batch/node shard; dense_ring evals data-parallel
-        # with the single-device dense math per batch shard — no device
-        # redundantly recomputes the full eval), metrics on the outputs.
-        from megacrn_tpu.kernels.spmm import ShardedRoadPacks
-        from megacrn_tpu.kernels.spmm_ell_node import (
-            BucketedShardedNodeELL, ShardedNodeELL)
-        from megacrn_tpu.parallel.api import (make_road_node_eval_forward,
-                                              make_shardmap_eval_forward)
+    if mesh is not None:
+        # Mesh eval is data-parallel for EVERY backend: the shard_map
+        # backends (Pallas road_sparse / dense_ring / node-partitioned
+        # packs) forward through their explicit shard_map eval programs;
+        # the GSPMD backends (dense, sparse_meta) through the
+        # constraint-pinned forward with batches placed by shard_batch
+        # (round-4 VERDICT weak item 4). Metrics run jitted on the
+        # outputs either way.
         from megacrn_tpu.train.steps import _metric_steps, eval_metrics
 
-        if isinstance(road_supports, (ShardedRoadPacks, ShardedNodeELL,
-                                      BucketedShardedNodeELL)):
-            eval_fwd = make_road_node_eval_forward(model_cfg, mesh,
-                                                   road_supports)
+        if model_cfg.graph_backend in ("road_sparse", "dense_ring"):
+            from megacrn_tpu.kernels.spmm import ShardedRoadPacks
+            from megacrn_tpu.kernels.spmm_ell_node import (
+                BucketedShardedNodeELL, ShardedNodeELL)
+            from megacrn_tpu.parallel.api import (
+                make_road_node_eval_forward, make_shardmap_eval_forward)
+
+            if isinstance(road_supports, (ShardedRoadPacks, ShardedNodeELL,
+                                          BucketedShardedNodeELL)):
+                eval_fwd = make_road_node_eval_forward(model_cfg, mesh,
+                                                       road_supports)
+            else:
+                eval_fwd = make_shardmap_eval_forward(
+                    model_cfg, mesh, road_supports=road_supports)
         else:
-            eval_fwd = make_shardmap_eval_forward(model_cfg, mesh,
-                                                  road_supports=road_supports)
-        msteps = _metric_steps(model_cfg.horizon)
-        metrics_fn = jax.jit(lambda out, y: eval_metrics(
-            out, y, train_cfg, mean, std, msteps))
+            from megacrn_tpu.parallel.api import make_sharded_eval_forward
 
-        def eval_step(x0, y0, y_cov):
-            x0s, ycs = place_batch((x0, y_cov))
-            return metrics_fn(eval_fwd(params, x0s, ycs), y0)
-    elif mesh is not None:
-        # GSPMD mesh eval (dense / sparse_meta): place the eval batches on
-        # the mesh like the train batches and forward through the
-        # constraint-pinned program, so eval compute partitions over the
-        # data (and node) axes instead of falling back to one device
-        # (round-4 VERDICT weak item 4 — the GSPMD analog of the shard_map
-        # branch above).
-        from megacrn_tpu.parallel.api import make_sharded_eval_forward
-        from megacrn_tpu.train.steps import _metric_steps, eval_metrics
-
-        eval_fwd = make_sharded_eval_forward(model_cfg, mesh,
-                                             road_supports=road_supports)
+            eval_fwd = make_sharded_eval_forward(
+                model_cfg, mesh, road_supports=road_supports)
         msteps = _metric_steps(model_cfg.horizon)
         metrics_fn = jax.jit(lambda out, y: eval_metrics(
             out, y, train_cfg, mean, std, msteps))
@@ -327,12 +326,16 @@ def fit(
             pass
     mem_logged = not log_compiled_memory
     profile_pending = profile_dir is not None
+    profile_steps = max(1, profile_steps)  # 0/negative would never stop
     profile_active = False
+    first_step_done = False  # first step of the RUN carries the compile
 
     epochs = max_epochs if max_epochs is not None else train_cfg.epochs
     epochs_run = 0
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
+        t_steady = t0  # moved past the compile after the run's first step
+        steady_offset = 0  # steps excluded from throughput accounting
         step_in_epoch = 0
         train_losses = []
         key, k_epoch = jax.random.split(key)  # one host RNG op per EPOCH;
@@ -348,10 +351,19 @@ def fit(
             train_losses.append(loss)
             batches_seen += 1
             step_in_epoch += 1
-            if not mem_logged:
-                mem_logged = True
-                _log_compiled_memory(run, train_step, params, opt_state,
-                                     x0, y0, y_cov, batches_seen, k_epoch)
+            if not first_step_done:
+                # Exclude the one-time jit compile (and the AOT
+                # memory-stats lower below) from the first epoch's
+                # throughput accounting: sync, then restart the clock.
+                first_step_done = True
+                float(loss)
+                if not mem_logged:
+                    mem_logged = True
+                    _log_compiled_memory(run, train_step, params, opt_state,
+                                         x0, y0, y_cov, batches_seen,
+                                         k_epoch)
+                t_steady = time.time()
+                steady_offset = step_in_epoch
             if profile_pending and not profile_active and step_in_epoch == 1:
                 # Steady-state trace window: the first step (compile +
                 # warmup) completes before the trace starts.
@@ -369,7 +381,11 @@ def fit(
                 # negligible amortized cost.
                 float(loss)
         train_loss = float(np.mean([float(l) for l in train_losses]))
-        train_dt = time.time() - t0  # the float() drain above synced
+        # Steady-state train time: the clock restarts after the run's first
+        # (compile-carrying) step, so epoch-1 throughput is not understated
+        # by jit/AOT compile time. The float() drain above synced.
+        train_dt = time.time() - t_steady
+        steady_steps = step_in_epoch - steady_offset
         if profile_active:  # epoch shorter than the trace window
             jax.profiler.stop_trace()
             profile_active = False
@@ -383,11 +399,13 @@ def fit(
                f"{dt:.1f}s")
         logger.info(msg)
         run.append_epochlog(msg)
-        sec_per_step = train_dt / max(step_in_epoch, 1)
-        throughput = {"sec_per_step": sec_per_step,
-                      "steps_per_sec": 1.0 / sec_per_step}
-        if edges_per_step is not None:
-            throughput["edges_per_sec"] = edges_per_step / sec_per_step
+        throughput = {}
+        if steady_steps > 0:
+            sec_per_step = train_dt / steady_steps
+            throughput = {"sec_per_step": sec_per_step,
+                          "steps_per_sec": 1.0 / sec_per_step}
+            if edges_per_step is not None:
+                throughput["edges_per_sec"] = edges_per_step / sec_per_step
         run.log_metrics({"epoch": epoch + 1, "train_loss": train_loss,
                          "val": val, "seconds": dt, **throughput})
 

@@ -28,7 +28,7 @@ def run_precision(float64: bool, steps: int):
     jax.config.update("jax_platforms", "cpu")
     if float64:
         jax.config.update("jax_enable_x64", True)
-    import numpy as np  # noqa: F401
+    import numpy as np
     import torch
     import torch.nn as nn
 
@@ -56,9 +56,13 @@ def run_precision(float64: bool, steps: int):
                         compute_dtype="float64" if float64 else "float32")
     tcfg = TrainConfig(batch_size=bsz, epochs=1, seed=0, lr=0.01,
                        lr_milestones=(8, 16))
+    # Pinned shuffle_rng: deterministic batch order so the committed
+    # parity_divergence.json (and the onset steps PARITY.md cites from it)
+    # reproduce exactly on rerun.
     data = build_synthetic(num_nodes=nodes, num_steps=640, seq_len=seq,
                            horizon=seq, batch_size=bsz, seed=3,
-                           min_speed=20.0, missing_rate=0.0)
+                           min_speed=20.0, missing_rate=0.0,
+                           shuffle_rng=np.random.default_rng(11))
     mean, std = float(data["scaler_mean"]), float(data["scaler_std"])
     torch.manual_seed(7)
     tm = TorchMegaCRN(num_nodes=nodes, input_dim=1, output_dim=1,

@@ -364,11 +364,15 @@ def write_report(runs: dict, path="PARITY.md"):
         "basins (MAE rel 0.14). A transient mid-run divergence (peak 7.5%",
         "at epoch 6) remains and is pure noise-seeded chaos:",
         "tools/parity_divergence.py steps both frameworks from identical",
-        "weights in BOTH precisions and shows the per-step relative loss",
-        "difference starting at each precision's noise floor (6.6e-7 f32,",
-        "2.8e-15 f64), growing at the SAME ~10^2.5-per-step rate, and",
-        "saturating at the same level — f64 tracks bit-near (3e-16) for 8",
-        "steps, f32 for 3; precision shifts the divergence ONSET, never the",
+        "weights in BOTH precisions (pinned batch order, reproducible",
+        "artifact tools/parity_divergence.json) and shows the per-step",
+        "relative loss difference starting at each precision's noise floor",
+        "(7.8e-7 f32, 1.8e-15 f64), growing at the SAME ~10^2.5-per-step",
+        "rate once underway (f64: 4e-13 -> 8e-10 -> 4e-7 -> 1.4e-5 ->",
+        "4e-4 over steps 4-8), and saturating at the same level and step",
+        "(~1e-1/2e-2 at step 8-9) — f64 stays below 1e-9 for 6 steps, f32",
+        "leaves its floor by step 4; precision shifts the divergence",
+        "ONSET, never the",
         "dynamics, which is exactly the signature of float noise under an",
         "edge-of-stability step size and the opposite of a semantic",
         "difference (which would appear as a precision-independent offset",
