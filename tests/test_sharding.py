@@ -594,6 +594,49 @@ def test_gts_mesh_train_step_honors_gumbel_noise_flag():
     np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
 
 
+def test_bf16_modes_train_on_mesh():
+    """The opt-in bfloat16 compute modes compose with the mesh DP steps:
+    GTS and MegaCRNx bf16 configs must run a finite shard_map step on the
+    (2, 4) mesh (coverage for the bf16 x mesh combination, which is
+    otherwise by-construction only)."""
+    import optax
+
+    from megacrn_tpu.config import GTSConfig
+    from megacrn_tpu.data.graph_prior import cosine_knn_graph
+    from megacrn_tpu.models import gts, megacrnx
+    from megacrn_tpu.parallel.api import (make_gts_mesh_train_step,
+                                          make_megacrnx_mesh_train_step)
+    from megacrn_tpu.train.megacrnx_loop import MegaCRNxTrainConfig
+
+    mesh = make_mesh(2, 4)
+    x, y, ycov = _batch()
+
+    gcfg = GTSConfig(num_nodes=16, input_dim=1, output_dim=1, horizon=4,
+                     seq_len=4, rnn_units=8, max_diffusion_step=2,
+                     train_series_len=60, knn_k=3, embedding_dim=16,
+                     compute_dtype="bfloat16")
+    gparams, bn = gts.init_params(jax.random.PRNGKey(0), gcfg)
+    feas = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (60, 16)),
+                      np.float32)
+    gopt = optax.adam(5e-3, eps=1e-3)
+    gstep = make_gts_mesh_train_step(gcfg, TCFG, gopt, mesh, 0.0, 1.0, feas,
+                                     cosine_knn_graph(feas, 3), donate=False)
+    _, _, _, gloss = gstep(gparams, bn, gopt.init(gparams), x, y,
+                           jnp.float32(0.0), jax.random.PRNGKey(2))
+    assert np.isfinite(float(gloss))
+
+    xcfg = megacrnx.MegaCRNxConfig(num_nodes=16, horizon=4, seq_len=4,
+                                   rnn_units=8, mem_num=4, mem_dim=8,
+                                   compute_dtype="bfloat16")
+    xtcfg = MegaCRNxTrainConfig(batch_size=8)
+    xparams = megacrnx.init_params(jax.random.PRNGKey(3), xcfg)
+    xopt = optax.adam(xtcfg.lr)
+    xstep = make_megacrnx_mesh_train_step(xcfg, xtcfg, xopt, mesh, 0.0, 1.0,
+                                          donate=False)
+    _, _, xvals = xstep(xparams, xopt.init(xparams), x, y + 1.5, ycov)
+    assert np.isfinite(float(xvals[0]))
+
+
 def test_fit_gts_with_mesh_end_to_end(tmp_path):
     """Full GTS harness training data-parallel on the virtual mesh."""
     from megacrn_tpu.config import GTSConfig
